@@ -1,0 +1,19 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX init.
+
+Multi-chip sharding is validated on virtual CPU devices
+(xla_force_host_platform_device_count), as the reference offers no
+distributed-test pattern to follow (SURVEY.md section 4) and only one
+real TPU chip is attached in CI.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
