@@ -1,0 +1,3 @@
+from .tokenizer import StreamDetokenizer, Tokenizer, TokenType
+
+__all__ = ["Tokenizer", "TokenType", "StreamDetokenizer"]
