@@ -1,0 +1,143 @@
+"""Slot-paged KV cache with seq ops as index arithmetic.
+
+TPU-native redesign of llama.cpp's unified KV cache (SURVEY.md section 2b
+"KV cache"; reference call sites llama_kv_cache_clear/seq_rm/seq_add/seq_cp
+at /root/reference/src/llama_server_context.cc:287,1288-1290,1540-1547,661).
+
+Design invariant: slot s occupies cells [0, lengths[s]) contiguously and
+cell i always holds the token at *position* i. K is stored UNROTATED and
+RoPE is applied inside attention using the cell index, so that:
+
+  - seq_rm(slot, n, -1)  == trim:   lengths[s] = n            (metadata only)
+  - seq_cp               == row copy of a prefix
+  - context shift        == compact: roll the tail down over the evicted
+    middle; positions renumber automatically (no K re-rotation pass, unlike
+    upstream llama.cpp's K-shift graph)
+  - self-extend          == position remap at attention time (no cache op)
+
+Quantized KV storage (q8_0-style int8 + per-(token,head) scale) mirrors the
+reference's cache_type_k/v (llama_engine.cc:628-637).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class KVCache:
+    k: jax.Array  # [L, S, T, KH, D] (compute dtype, or int8 when quantized)
+    v: jax.Array  # [L, S, T, KH, D]
+    lengths: jax.Array  # [S] int32: occupied cells per slot
+    k_scale: jax.Array | None = None  # [L, S, T, KH] f32 when quantized
+    v_scale: jax.Array | None = None
+
+    def tree_flatten(self):
+        return (self.k, self.v, self.lengths, self.k_scale, self.v_scale), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def n_slots(self) -> int:
+        return self.k.shape[1]
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
+
+def new_cache(
+    n_layer: int,
+    n_slots: int,
+    max_len: int,
+    n_kv_head: int,
+    head_dim: int,
+    dtype=jnp.float32,
+    quantized: bool = False,
+) -> KVCache:
+    shape = (n_layer, n_slots, max_len, n_kv_head, head_dim)
+    if quantized:
+        return KVCache(
+            k=jnp.zeros(shape, jnp.int8),
+            v=jnp.zeros(shape, jnp.int8),
+            lengths=jnp.zeros((n_slots,), jnp.int32),
+            k_scale=jnp.zeros(shape[:-1], jnp.float32),
+            v_scale=jnp.zeros(shape[:-1], jnp.float32),
+        )
+    return KVCache(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        lengths=jnp.zeros((n_slots,), jnp.int32),
+    )
+
+
+# -- seq ops (all jit-able, all metadata/index arithmetic) -------------------
+
+def clear_all(cache: KVCache) -> KVCache:
+    """Reference: llama_kv_cache_clear (llama_server_context.cc:287)."""
+    return KVCache(cache.k, cache.v, jnp.zeros_like(cache.lengths),
+                   cache.k_scale, cache.v_scale)
+
+
+@jax.jit
+def trim(cache: KVCache, slot: jax.Array, n: jax.Array) -> KVCache:
+    """seq_rm(slot, n, -1): keep the first n cells (prompt-cache reuse,
+    reference llama_server_context.cc:1539-1554)."""
+    lengths = cache.lengths.at[slot].set(
+        jnp.minimum(cache.lengths[slot], n).astype(jnp.int32)
+    )
+    return KVCache(cache.k, cache.v, lengths, cache.k_scale, cache.v_scale)
+
+
+@jax.jit
+def clear_slot(cache: KVCache, slot: jax.Array) -> KVCache:
+    return trim(cache, slot, jnp.int32(0))
+
+
+@jax.jit
+def seq_cp(cache: KVCache, src: jax.Array, dst: jax.Array) -> KVCache:
+    """Copy slot src's occupied prefix into slot dst (system-prompt
+    broadcast, reference llama_server_context.cc:659-662). Copies whole
+    rows; the occupied length governs validity."""
+    k = cache.k.at[:, dst].set(cache.k[:, src])
+    v = cache.v.at[:, dst].set(cache.v[:, src])
+    ks = cache.k_scale.at[:, dst].set(cache.k_scale[:, src]) if cache.k_scale is not None else None
+    vs = cache.v_scale.at[:, dst].set(cache.v_scale[:, src]) if cache.v_scale is not None else None
+    lengths = cache.lengths.at[dst].set(cache.lengths[src])
+    return KVCache(k, v, lengths, ks, vs)
+
+
+@jax.jit
+def shift_compact(cache: KVCache, slot: jax.Array, n_keep: jax.Array,
+                  n_discard: jax.Array) -> KVCache:
+    """Context shift: evict cells [n_keep+1, n_keep+1+n_discard) and slide
+    the tail down (reference llama_server_context.cc:1274-1306: seq_rm +
+    seq_add(-d)). Because cell index == position, the slide renumbers
+    positions implicitly.
+    """
+    T = cache.max_len
+    idx = jnp.arange(T, dtype=jnp.int32)
+    # source index for each destination cell
+    src = jnp.where(idx > n_keep, idx + n_discard, idx)
+    src = jnp.minimum(src, T - 1)
+
+    def gather_slot(arr):
+        return arr.at[:, slot].set(arr[:, slot][:, src])
+
+    k = gather_slot(cache.k)
+    v = gather_slot(cache.v)
+    ks = gather_slot(cache.k_scale) if cache.k_scale is not None else None
+    vs = gather_slot(cache.v_scale) if cache.v_scale is not None else None
+    lengths = cache.lengths.at[slot].set(cache.lengths[slot] - n_discard)
+    return KVCache(k, v, lengths, ks, vs)

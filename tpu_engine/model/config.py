@@ -1,0 +1,91 @@
+"""Model hyperparameters parsed from GGUF metadata.
+
+Replaces the hparam loading llama.cpp performs inside
+common_init_from_params (reference call site
+/root/reference/src/llama_server_context.cc:207; SURVEY.md section 2b).
+Architecture support targets the reference's weekend e2e matrix
+(.github/scripts/e2e-test-server-weekend.py: llama3/3.1, gemma/gemma2,
+phi3, mistral, openhermes, tinyllama, qwen2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# Architectures that share the llama compute graph (RMSNorm/RoPE/GQA/SwiGLU).
+LLAMA_LIKE = {"llama", "mistral", "qwen2", "stablelm", "tinyllama"}
+KNOWN_ARCHS = LLAMA_LIKE | {"gemma", "gemma2", "phi3"}
+
+
+@dataclass(eq=False)  # identity hash/eq: each loaded model owns one config,
+class ModelConfig:     # which jit treats as a static argument
+    arch: str
+    n_layer: int
+    n_embd: int
+    n_head: int
+    n_kv_head: int
+    head_dim: int
+    n_ff: int
+    n_vocab: int
+    n_ctx_train: int
+    rms_eps: float
+    rope_theta: float
+    rope_dim: int
+    rope_type: str  # "norm" (interleaved pairs) | "neox" (split halves)
+    act: str = "silu"  # "silu" | "gelu"
+    qkv_bias: bool = False
+    tie_embeddings: bool = False
+    embedding_scale: float = 1.0  # gemma scales embeddings by sqrt(n_embd)
+    attn_logit_softcap: float = 0.0  # gemma2
+    final_logit_softcap: float = 0.0  # gemma2
+    post_norms: bool = False  # gemma2 post-attention/post-ffn norms
+    rope_scaling: float = 1.0
+    extra: dict = field(default_factory=dict)
+
+    @property
+    def gqa_groups(self) -> int:
+        return self.n_head // self.n_kv_head
+
+    @classmethod
+    def from_gguf_metadata(cls, md: dict) -> "ModelConfig":
+        arch = str(md.get("general.architecture", "llama"))
+
+        def g(key, default=None):
+            v = md.get(f"{arch}.{key}", default)
+            return v
+
+        n_embd = int(g("embedding_length"))
+        n_head = int(g("attention.head_count"))
+        n_kv_head = int(g("attention.head_count_kv", n_head))
+        head_dim = int(g("attention.key_length", n_embd // n_head))
+        rope_dim = int(g("rope.dimension_count", head_dim))
+        # rope convention: llama-family GGUFs store Wq/Wk permuted for the
+        # interleaved ("norm") rotation; neox-lineage archs use split halves.
+        rope_type = "neox" if arch in ("qwen2", "stablelm", "phi3", "gemma", "gemma2") else "norm"
+        cfg = cls(
+            arch=arch,
+            n_layer=int(g("block_count")),
+            n_embd=n_embd,
+            n_head=n_head,
+            n_kv_head=n_kv_head,
+            head_dim=head_dim,
+            n_ff=int(g("feed_forward_length")),
+            n_vocab=len(md["tokenizer.ggml.tokens"]) if "tokenizer.ggml.tokens" in md
+            else int(g("vocab_size")),
+            n_ctx_train=int(g("context_length", 2048)),
+            rms_eps=float(g("attention.layer_norm_rms_epsilon", 1e-5)),
+            rope_theta=float(g("rope.freq_base", 10000.0)),
+            rope_dim=rope_dim,
+            rope_type=rope_type,
+            act="gelu" if arch.startswith("gemma") else "silu",
+            qkv_bias=arch == "qwen2",
+            embedding_scale=float(n_embd) ** 0.5 if arch.startswith("gemma") else 1.0,
+            attn_logit_softcap=float(g("attn_logit_softcapping", 0.0)) if arch == "gemma2" else 0.0,
+            final_logit_softcap=float(g("final_logit_softcapping", 0.0)) if arch == "gemma2" else 0.0,
+            post_norms=arch == "gemma2",
+        )
+        scale = md.get(f"{arch}.rope.scaling.factor")
+        if scale:
+            cfg.rope_scaling = float(scale)
+        return cfg

@@ -1,0 +1,236 @@
+"""Llama-family forward graph as fixed-shape jit-able step functions.
+
+TPU-native rebuild of the decode path the reference reaches through
+llama_decode (/root/reference/src/llama_server_context.cc:1628-1635;
+SURVEY.md section 2b "Decode & batching"). One traced function serves both
+prefill chunks (B=1, Tc=bucket) and batched decode (B=n_slots, Tc=1); the
+serving loop picks the right compiled executable per bucket — the
+fixed-shape answer to ggml's ragged batches (SURVEY.md section 7 "Dynamic
+shapes vs XLA").
+
+Graph: RMSNorm -> {q,k,v} proj -> RoPE (norm or neox) -> slot-paged cache
+append -> GQA attention (K rotated at attention time by cell index; see
+kvcache/cache.py) -> o proj -> residual -> RMSNorm -> SwiGLU/GeGLU -> residual.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..kvcache.cache import KVCache
+from .config import ModelConfig
+from .weights import QTensor, embed_rows, qmatmul
+
+NEG_INF = -1e30
+
+
+def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    inv = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (xf * inv).astype(x.dtype) * w
+
+
+def rope_cos_sin(pos: jax.Array, rope_dim: int, theta: float, scaling: float = 1.0):
+    """cos/sin tables for positions. pos: [...]; returns [..., rope_dim//2]."""
+    half = rope_dim // 2
+    inv_freq = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    ang = pos.astype(jnp.float32)[..., None] * inv_freq / scaling
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(x: jax.Array, pos: jax.Array, cfg: ModelConfig) -> jax.Array:
+    """x: [..., T, H, D], pos broadcastable to [..., T]. Applied in f32."""
+    rd = cfg.rope_dim
+    cos, sin = rope_cos_sin(pos, rd, cfg.rope_theta, cfg.rope_scaling)
+    cos = cos[..., None, :]  # [..., T, 1, rd/2]
+    sin = sin[..., None, :]
+    xf = x.astype(jnp.float32)
+    xr, x_pass = xf[..., :rd], xf[..., rd:]
+    if cfg.rope_type == "norm":
+        xe = xr[..., 0::2]
+        xo = xr[..., 1::2]
+        re = xe * cos - xo * sin
+        ro = xe * sin + xo * cos
+        rot = jnp.stack([re, ro], axis=-1).reshape(xr.shape)
+    else:  # neox: split halves
+        x1 = xr[..., : rd // 2]
+        x2 = xr[..., rd // 2 :]
+        rot = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    return jnp.concatenate([rot, x_pass], axis=-1).astype(x.dtype) if x_pass.size else rot.astype(x.dtype)
+
+
+def self_extend_pos(pos: jax.Array, ga_n: jax.Array, ga_w: jax.Array) -> jax.Array:
+    """Grouped self-extend position remap (SURVEY.md section 2b
+    "Self-extend / group attention"): positions beyond the window w are
+    grouped by factor n: p -> p//n + w*(1 - 1/n) boundary-consistent form
+    p < w: p ; p >= w: w + (p - w)//n. ga_n==1 disables."""
+    remapped = jnp.where(pos < ga_w, pos, ga_w + (pos - ga_w) // jnp.maximum(ga_n, 1))
+    return jnp.where(ga_n > 1, remapped, pos)
+
+
+def _act(x: jax.Array, kind: str) -> jax.Array:
+    if kind == "gelu":
+        return jax.nn.gelu(x, approximate=True)
+    return jax.nn.silu(x)
+
+
+def attention_reference(
+    q: jax.Array,  # [B, Tc, H, D] rotated
+    k_cache: jax.Array,  # [B, T, KH, D] UNROTATED (includes the new rows)
+    v_cache: jax.Array,  # [B, T, KH, D]
+    q_pos: jax.Array,  # [B, Tc] absolute positions of the queries
+    cfg: ModelConfig,
+    ga_n: jax.Array,
+    ga_w: jax.Array,
+) -> jax.Array:
+    """Reference (XLA) attention over the slot cache. Returns [B, Tc, H, D].
+
+    Cell index == position (kvcache invariant), so the causal mask is
+    cell_idx <= q_pos and K is rotated here by its (possibly self-extend
+    remapped) cell index.
+    """
+    B, T = k_cache.shape[0], k_cache.shape[1]
+    H, KH, D = cfg.n_head, cfg.n_kv_head, cfg.head_dim
+    G = H // KH
+    cell = jnp.arange(T, dtype=jnp.int32)[None, :].repeat(B, 0)  # [B, T]
+    k_rot = apply_rope(k_cache, self_extend_pos(cell, ga_n, ga_w), cfg)
+
+    qf = q.reshape(q.shape[0], q.shape[1], KH, G, D).astype(jnp.float32)
+    kf = k_rot.astype(jnp.float32)
+    vf = v_cache.astype(jnp.float32)
+    scores = jnp.einsum("btkgd,bukd->btkgu", qf, kf) / jnp.sqrt(D).astype(jnp.float32)
+    if cfg.attn_logit_softcap > 0:
+        c = cfg.attn_logit_softcap
+        scores = jnp.tanh(scores / c) * c
+    mask = cell[:, None, :] <= q_pos[..., None]  # [B, Tc, T]
+    scores = jnp.where(mask[:, :, None, None, :], scores, NEG_INF)
+    p = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("btkgu,bukd->btkgd", p, vf)
+    return out.reshape(B, q.shape[1], H, D).astype(q.dtype)
+
+
+# Pallas attention hook (kernels/flash_attention.py installs TPU kernels).
+_ATTN_IMPL = attention_reference
+
+
+def set_attention_impl(fn) -> None:
+    global _ATTN_IMPL
+    _ATTN_IMPL = fn
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "collect_hidden"),
+    donate_argnames=("cache",),
+)
+def forward_step(
+    weights: dict,
+    cache: KVCache,
+    tokens: jax.Array,  # [B, Tc] int32
+    slot_ids: jax.Array,  # [B] int32 cache slots
+    active: jax.Array,  # [B] bool — inactive rows neither write nor bump
+    cfg: ModelConfig,
+    ga_n: jax.Array | int = 1,
+    ga_w: jax.Array | int = 0,
+    n_valid: jax.Array | None = None,
+    collect_hidden: bool = False,
+):
+    """One engine step over a [B, Tc] token block.
+
+    n_valid [B]: number of real tokens per row (rows are right-padded to the
+    bucket length Tc; pad tokens neither write to the cache nor count).
+
+    Returns (logits [B, n_vocab] for the last VALID token of each row,
+    new_cache, pooled_hidden [B, n_embd] or None).
+    """
+    B, Tc = tokens.shape
+    T = cache.max_len
+    H, KH, D = cfg.n_head, cfg.n_kv_head, cfg.head_dim
+    dtype = weights["output_norm"].dtype
+
+    ga_n = jnp.asarray(ga_n, jnp.int32)
+    ga_w = jnp.asarray(ga_w, jnp.int32)
+    if n_valid is None:
+        n_valid = jnp.full((B,), Tc, jnp.int32)
+
+    start = cache.lengths[slot_ids]  # [B]
+    q_pos = start[:, None] + jnp.arange(Tc, dtype=jnp.int32)[None, :]  # [B, Tc]
+
+    x = embed_rows(weights["token_embd"], tokens, dtype)  # [B, Tc, E]
+    if cfg.embedding_scale != 1.0:
+        x = x * jnp.asarray(cfg.embedding_scale, dtype)
+
+    # scatter target cells; inactive rows and pad tokens write OOB -> dropped
+    token_ok = active[:, None] & (jnp.arange(Tc, dtype=jnp.int32)[None, :] < n_valid[:, None])
+    write_cells = jnp.where(token_ok, q_pos, T)  # [B, Tc]
+
+    k_cache, v_cache = cache.k, cache.v
+    hidden_sum = jnp.zeros((B, cfg.n_embd), jnp.float32) if collect_hidden else None
+
+    for li in range(cfg.n_layer):
+        lw = weights["layers"][li]
+        h = rms_norm(x, lw["attn_norm"], cfg.rms_eps)
+        hq = qmatmul(h, lw["wq"])
+        hk = qmatmul(h, lw["wk"])
+        hv = qmatmul(h, lw["wv"])
+        if "bq" in lw:
+            hq = hq + lw["bq"]
+            hk = hk + lw["bk"]
+            hv = hv + lw["bv"]
+        hq = hq.reshape(B, Tc, H, D)
+        hk = hk.reshape(B, Tc, KH, D)
+        hv = hv.reshape(B, Tc, KH, D)
+
+        q_rot = apply_rope(hq, self_extend_pos(q_pos, ga_n, ga_w), cfg)
+
+        # append UNROTATED K and V to the cache (see kvcache docstring)
+        k_cache = k_cache.at[li, slot_ids[:, None], write_cells].set(
+            hk.astype(k_cache.dtype), mode="drop"
+        )
+        v_cache = v_cache.at[li, slot_ids[:, None], write_cells].set(
+            hv.astype(v_cache.dtype), mode="drop"
+        )
+
+        attn = _ATTN_IMPL(
+            q_rot, k_cache[li, slot_ids], v_cache[li, slot_ids], q_pos, cfg, ga_n, ga_w
+        )
+        attn = attn.reshape(B, Tc, H * D)
+        attn = qmatmul(attn, lw["wo"])
+        if cfg.post_norms:
+            attn = rms_norm(attn, lw["post_attn_norm"], cfg.rms_eps)
+        x = x + attn
+
+        h = rms_norm(x, lw["ffn_norm"], cfg.rms_eps)
+        gate = _act(qmatmul(h, lw["w_gate"]), cfg.act)
+        up = qmatmul(h, lw["w_up"])
+        ffn = qmatmul(gate * up, lw["w_down"])
+        if cfg.post_norms:
+            ffn = rms_norm(ffn, lw["post_ffn_norm"], cfg.rms_eps)
+        x = x + ffn
+
+    x = rms_norm(x, weights["output_norm"], cfg.rms_eps)
+
+    if collect_hidden:
+        # mean pooling over the valid tokens (llama.cpp mean pooling analog)
+        valid = (jnp.arange(Tc, dtype=jnp.int32)[None, :] < n_valid[:, None])[..., None]
+        hidden_sum = jnp.sum(jnp.where(valid, x.astype(jnp.float32), 0.0), axis=1)
+        pooled = hidden_sum / jnp.maximum(n_valid[:, None], 1)
+    else:
+        pooled = None
+
+    last = x[jnp.arange(B), jnp.maximum(n_valid - 1, 0)]  # [B, E]
+    logits = qmatmul(last, weights["output"]).astype(jnp.float32)  # [B, V]
+    if cfg.final_logit_softcap > 0:
+        c = cfg.final_logit_softcap
+        logits = jnp.tanh(logits / c) * c
+
+    lengths = jnp.where(
+        active, cache.lengths[slot_ids] + n_valid, cache.lengths[slot_ids]
+    )
+    new_lengths = cache.lengths.at[slot_ids].set(lengths.astype(jnp.int32))
+    new_cache = KVCache(k_cache, v_cache, new_lengths, cache.k_scale, cache.v_scale)
+    return logits, new_cache, pooled

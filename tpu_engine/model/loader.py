@@ -1,0 +1,103 @@
+"""GGUF -> device weights loader.
+
+TPU-native counterpart of llama.cpp model loading (reference crossing at
+common_init_from_params, /root/reference/src/llama_server_context.cc:207):
+parses the GGUF, converts quantized tensors to the unified device layout,
+uploads to device (sharded when a mesh is provided), and builds the
+tokenizer + config.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.reader import GGUFFile, read_gguf
+from ..tokenizer.tokenizer import Tokenizer
+from .config import ModelConfig
+from .weights import QTensor, qtensor_from_gguf
+
+
+@dataclass
+class LoadedModel:
+    cfg: ModelConfig
+    tokenizer: Tokenizer
+    weights: dict
+    model_size_bytes: int
+    metadata: dict = field(default_factory=dict)
+
+
+def _norm(g: GGUFFile, name: str, dtype, add_one: bool = False) -> jax.Array:
+    w = np.asarray(g.dequantize(name, np.float32))
+    if add_one:
+        w = w + 1.0  # gemma convention: weights stored as (w - 1)
+    return jnp.asarray(w, dtype)
+
+
+def load_model(
+    path: str,
+    compute_dtype=jnp.float32,
+    sharder=None,
+) -> LoadedModel:
+    """Load a GGUF model. `sharder(name, qtensor) -> qtensor` may re-device
+    arrays with NamedSharding (dist/sharding.py)."""
+    g = read_gguf(path)
+    try:
+        cfg = ModelConfig.from_gguf_metadata(g.metadata)
+        tok = Tokenizer.from_gguf_metadata(g.metadata)
+        add_one = cfg.arch.startswith("gemma")
+
+        def qt(name: str) -> QTensor:
+            t = qtensor_from_gguf(g, name, compute_dtype)
+            if sharder is not None:
+                t = sharder(name, t)
+            return t
+
+        layers = []
+        for i in range(cfg.n_layer):
+            p = f"blk.{i}."
+            lw = {
+                "attn_norm": _norm(g, p + "attn_norm.weight", compute_dtype, add_one),
+                "wq": qt(p + "attn_q.weight"),
+                "wk": qt(p + "attn_k.weight"),
+                "wv": qt(p + "attn_v.weight"),
+                "wo": qt(p + "attn_output.weight"),
+                "ffn_norm": _norm(g, p + "ffn_norm.weight", compute_dtype, add_one),
+                "w_gate": qt(p + "ffn_gate.weight"),
+                "w_up": qt(p + "ffn_up.weight"),
+                "w_down": qt(p + "ffn_down.weight"),
+            }
+            if p + "attn_q.bias" in g.tensors:
+                lw["bq"] = jnp.asarray(g.dequantize(p + "attn_q.bias", np.float32), compute_dtype)
+                lw["bk"] = jnp.asarray(g.dequantize(p + "attn_k.bias", np.float32), compute_dtype)
+                lw["bv"] = jnp.asarray(g.dequantize(p + "attn_v.bias", np.float32), compute_dtype)
+            if p + "post_attention_norm.weight" in g.tensors:
+                lw["post_attn_norm"] = _norm(
+                    g, p + "post_attention_norm.weight", compute_dtype, add_one
+                )
+                lw["post_ffn_norm"] = _norm(
+                    g, p + "post_ffw_norm.weight", compute_dtype, add_one
+                )
+            layers.append(lw)
+
+        weights = {
+            "token_embd": qt("token_embd.weight"),
+            "output_norm": _norm(g, "output_norm.weight", compute_dtype, add_one),
+            "layers": layers,
+        }
+        if "output.weight" in g.tensors:
+            weights["output"] = qt("output.weight")
+        else:
+            cfg.tie_embeddings = True
+            weights["output"] = weights["token_embd"]
+
+        size = sum(t.n_bytes for t in g.tensors.values())
+        return LoadedModel(
+            cfg=cfg, tokenizer=tok, weights=weights, model_size_bytes=size,
+            metadata=dict(g.metadata),
+        )
+    finally:
+        g.close()

@@ -1,0 +1,3 @@
+from .chain import Sampler, SamplingParams, TokenProb
+
+__all__ = ["Sampler", "SamplingParams", "TokenProb"]

@@ -1,0 +1,157 @@
+"""HF checkpoint -> GGUF converter (+ GGUF requantizer).
+
+TPU-native equivalent of the reference's model pipeline
+(.github/workflows/convert-model-all-quant.yml: HF -> GGUF -> quantize over
+q2_k..q8_0; SURVEY.md section 4 "model pipeline"). Follows the public GGUF
+conversion conventions (e.g. the Wq/Wk row permutation that converts HF's
+half-split RoPE layout to ggml's interleaved "norm" layout) so files are
+interchangeable with llama.cpp tooling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..gguf.constants import GGMLType, QUANT_LEVEL_ALIASES
+from ..gguf.writer import GGUFWriter
+from ..gguf.constants import GGUFValueType
+
+
+def permute_rope_rows(w: np.ndarray, n_head: int) -> np.ndarray:
+    """HF half-split rope layout -> ggml interleaved ("norm") layout."""
+    out_dim = w.shape[0]
+    return (
+        w.reshape(n_head, 2, out_dim // n_head // 2, *w.shape[1:])
+        .swapaxes(1, 2)
+        .reshape(w.shape)
+    )
+
+
+def _should_quantize(name: str, arr: np.ndarray) -> bool:
+    """Norms/biases stay f32; 2D matmul weights quantize (llama.cpp rule)."""
+    if arr.ndim < 2:
+        return False
+    if "norm" in name or "bias" in name:
+        return False
+    return arr.shape[-1] % 256 == 0
+
+
+def add_tokenizer_metadata(w: GGUFWriter, tok_md: dict) -> None:
+    for key, val in tok_md.items():
+        if key == "tokenizer.ggml.tokens":
+            w.add_array(key, val, GGUFValueType.STRING)
+        elif key == "tokenizer.ggml.scores":
+            w.add_array(key, [float(x) for x in val], GGUFValueType.FLOAT32)
+        elif key == "tokenizer.ggml.token_type":
+            w.add_array(key, [int(x) for x in val], GGUFValueType.INT32)
+        elif key == "tokenizer.ggml.merges":
+            w.add_array(key, val, GGUFValueType.STRING)
+        else:
+            w.add(key, val)
+
+
+def hf_llama_to_gguf(
+    hf_model,
+    out_path: str,
+    ggml_type: GGMLType | str = GGMLType.F32,
+    tokenizer_metadata: dict | None = None,
+    name: str = "converted",
+) -> None:
+    """Convert a transformers *LlamaForCausalLM*-style model (llama, mistral,
+    tinyllama) to GGUF. Qwen2 models convert via the same graph with biases
+    and no rope permutation."""
+    if isinstance(ggml_type, str):
+        ggml_type = QUANT_LEVEL_ALIASES[ggml_type.lower()]
+    cfg = hf_model.config
+    arch = getattr(cfg, "model_type", "llama")
+    if arch not in ("llama", "mistral", "qwen2"):
+        raise NotImplementedError(f"hf arch {arch}")
+    gguf_arch = "qwen2" if arch == "qwen2" else "llama"
+    permute = gguf_arch == "llama"
+
+    sd = {k: v.detach().to("cpu").float().numpy() for k, v in hf_model.state_dict().items()}
+    n_head = cfg.num_attention_heads
+    n_kv = getattr(cfg, "num_key_value_heads", n_head)
+
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", gguf_arch)
+    w.add("general.name", name)
+    w.add(f"{gguf_arch}.block_count", int(cfg.num_hidden_layers))
+    w.add(f"{gguf_arch}.context_length", int(getattr(cfg, "max_position_embeddings", 2048)))
+    w.add(f"{gguf_arch}.embedding_length", int(cfg.hidden_size))
+    w.add(f"{gguf_arch}.feed_forward_length", int(cfg.intermediate_size))
+    w.add(f"{gguf_arch}.attention.head_count", int(n_head))
+    w.add(f"{gguf_arch}.attention.head_count_kv", int(n_kv))
+    w.add(f"{gguf_arch}.attention.layer_norm_rms_epsilon", float(cfg.rms_norm_eps))
+    w.add(f"{gguf_arch}.rope.freq_base", float(getattr(cfg, "rope_theta", 10000.0)))
+    head_dim = getattr(cfg, "head_dim", None) or cfg.hidden_size // n_head
+    w.add(f"{gguf_arch}.rope.dimension_count", int(head_dim))
+    w.add(f"{gguf_arch}.attention.key_length", int(head_dim))
+    w.add(f"{gguf_arch}.vocab_size", int(cfg.vocab_size))
+    if tokenizer_metadata:
+        add_tokenizer_metadata(w, tokenizer_metadata)
+
+    def put(gname: str, arr: np.ndarray, force_f32: bool = False):
+        ty = ggml_type if (not force_f32 and _should_quantize(gname, arr)) else GGMLType.F32
+        w.add_tensor(gname, arr, ty)
+
+    put("token_embd.weight", sd["model.embed_tokens.weight"])
+    put("output_norm.weight", sd["model.norm.weight"])
+    if "lm_head.weight" in sd and not getattr(cfg, "tie_word_embeddings", False):
+        put("output.weight", sd["lm_head.weight"])
+
+    for i in range(cfg.num_hidden_layers):
+        hp = f"model.layers.{i}."
+        gp = f"blk.{i}."
+        put(gp + "attn_norm.weight", sd[hp + "input_layernorm.weight"])
+        wq = sd[hp + "self_attn.q_proj.weight"]
+        wk = sd[hp + "self_attn.k_proj.weight"]
+        if permute:
+            wq = permute_rope_rows(wq, n_head)
+            wk = permute_rope_rows(wk, n_kv)
+        put(gp + "attn_q.weight", wq)
+        put(gp + "attn_k.weight", wk)
+        put(gp + "attn_v.weight", sd[hp + "self_attn.v_proj.weight"])
+        put(gp + "attn_output.weight", sd[hp + "self_attn.o_proj.weight"])
+        if hp + "self_attn.q_proj.bias" in sd:
+            put(gp + "attn_q.bias", sd[hp + "self_attn.q_proj.bias"], force_f32=True)
+            put(gp + "attn_k.bias", sd[hp + "self_attn.k_proj.bias"], force_f32=True)
+            put(gp + "attn_v.bias", sd[hp + "self_attn.v_proj.bias"], force_f32=True)
+        put(gp + "ffn_norm.weight", sd[hp + "post_attention_layernorm.weight"])
+        put(gp + "ffn_gate.weight", sd[hp + "mlp.gate_proj.weight"])
+        put(gp + "ffn_up.weight", sd[hp + "mlp.up_proj.weight"])
+        put(gp + "ffn_down.weight", sd[hp + "mlp.down_proj.weight"])
+
+    w.write()
+
+
+def requantize_gguf(in_path: str, out_path: str, level: str) -> None:
+    """GGUF -> GGUF at a different quant level (llama-quantize analog)."""
+    from ..gguf.reader import read_gguf
+
+    ty = QUANT_LEVEL_ALIASES[level.lower()]
+    with read_gguf(in_path) as g:
+        w = GGUFWriter(out_path)
+        for key, val in g.metadata.items():
+            if isinstance(val, np.ndarray):
+                np_to_vt = {
+                    np.dtype(np.float32): GGUFValueType.FLOAT32,
+                    np.dtype(np.int32): GGUFValueType.INT32,
+                    np.dtype(np.uint32): GGUFValueType.UINT32,
+                    np.dtype(np.int64): GGUFValueType.INT64,
+                }
+                w.add_array(key, val.tolist(), np_to_vt[val.dtype])
+            elif isinstance(val, list):
+                w.add_array(
+                    key, val,
+                    GGUFValueType.STRING if val and isinstance(val[0], str) else GGUFValueType.INT32,
+                )
+            else:
+                w.add(key, val)
+        for tname, ti in g.tensors.items():
+            arr = g.dequantize(tname, np.float32)
+            if _should_quantize(tname, arr):
+                w.add_tensor(tname, arr, ty)
+            else:
+                w.add_tensor(tname, arr, GGMLType.F32)
+        w.write()
