@@ -1,0 +1,220 @@
+"""Serving engine tests: completion flow, streaming, stops, parallel slots,
+prompt cache, cancel, embeddings, grammar-constrained output."""
+
+import time
+
+import numpy as np
+import pytest
+
+from tests.models import build_test_gguf
+from tpu_engine.model.loader import load_model
+from tpu_engine.sampling import SamplingParams
+from tpu_engine.serve import CompletionParams, InferenceEngine, StopReason
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    d = tmp_path_factory.mktemp("models")
+    path = str(d / "tiny.gguf")
+    build_test_gguf(path, "f32", seed=3)
+    lm = load_model(path)
+    eng = InferenceEngine(lm, n_ctx=256, n_parallel=2, n_batch=64,
+                          prefill_buckets=(16, 32))
+    yield eng
+    eng.shutdown()
+
+
+def collect(eng, task_id, timeout=120.0):
+    parts, final = [], None
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        r = eng.next_result(task_id, timeout=timeout)
+        if r.error:
+            raise RuntimeError(r.error_message)
+        if r.stop:
+            final = r
+            break
+        parts.append(r.text)
+    assert final is not None, "no final result"
+    return parts, final
+
+
+def greedy(n=8, **kw):
+    sp = SamplingParams(temperature=0.0)
+    return CompletionParams(n_predict=n, sampling=sp, **kw)
+
+
+def test_basic_completion(engine):
+    tid = engine.request_completion(greedy(prompt="hello world", n=6))
+    parts, final = collect(engine, tid)
+    assert final.tokens_predicted <= 6
+    assert final.tokens_evaluated > 0
+    assert final.timings["prompt_n"] > 0
+    assert isinstance(final.text, str)
+
+
+def test_streaming_deltas_concat_to_final(engine):
+    p = greedy(prompt="the quick brown", n=8)
+    p.stream = True
+    tid = engine.request_completion(p)
+    parts, final = collect(engine, tid)
+    p2 = greedy(prompt="the quick brown", n=8)
+    tid2 = engine.request_completion(p2)
+    _, final2 = collect(engine, tid2)
+    assert "".join(parts) + final.text == final2.text
+
+
+def test_deterministic_across_requests(engine):
+    outs = []
+    for _ in range(2):
+        tid = engine.request_completion(greedy(prompt="hello world", n=8))
+        _, final = collect(engine, tid)
+        outs.append(final.text)
+    assert outs[0] == outs[1]
+
+
+def test_parallel_requests(engine):
+    tids = [
+        engine.request_completion(greedy(prompt=f"hello world {i}", n=6))
+        for i in range(4)  # more tasks than slots: exercises deferral
+    ]
+    finals = [collect(engine, t)[1] for t in tids]
+    assert all(f.tokens_predicted > 0 for f in finals)
+
+
+def test_parallel_same_as_serial(engine):
+    """Slot isolation: concurrent decoding must not change outputs."""
+    t1 = engine.request_completion(greedy(prompt="hello world", n=8))
+    t2 = engine.request_completion(greedy(prompt="the lazy dog", n=8))
+    _, f1 = collect(engine, t1)
+    _, f2 = collect(engine, t2)
+    t3 = engine.request_completion(greedy(prompt="hello world", n=8))
+    _, f3 = collect(engine, t3)
+    assert f1.text == f3.text
+
+
+def test_stop_word(engine):
+    # discover the natural greedy output, then use a substring as stop word
+    tid = engine.request_completion(greedy(prompt="hello world", n=8))
+    _, base = collect(engine, tid)
+    if len(base.text) < 3:
+        pytest.skip("output too short to carve a stop word")
+    stop = base.text[2:4]
+    p = greedy(prompt="hello world", n=8)
+    p.stop = [stop]
+    tid = engine.request_completion(p)
+    _, final = collect(engine, tid)
+    assert final.stop_reason == StopReason.WORD
+    assert final.stopping_word == stop
+    assert stop not in final.text
+    assert final.text == base.text[: base.text.index(stop)]
+
+
+def test_stream_stop_word_holdback(engine):
+    tid = engine.request_completion(greedy(prompt="hello world", n=8))
+    _, base = collect(engine, tid)
+    if len(base.text) < 4:
+        pytest.skip("output too short")
+    stop = base.text[3:5]
+    p = greedy(prompt="hello world", n=8)
+    p.stop = [stop]
+    p.stream = True
+    tid = engine.request_completion(p)
+    parts, final = collect(engine, tid)
+    text = "".join(parts) + final.text
+    assert stop not in text
+    assert text == base.text[: base.text.index(stop)]
+
+
+def test_budget_limit(engine):
+    tid = engine.request_completion(greedy(prompt="hello", n=3))
+    _, final = collect(engine, tid)
+    assert final.tokens_predicted == 3
+    assert final.stop_reason in (StopReason.LIMIT, StopReason.EOS)
+
+
+def test_prompt_cache_reuse(engine):
+    p1 = greedy(prompt="the quick brown fox jumps", n=4)
+    tid = engine.request_completion(p1)
+    _, f1 = collect(engine, tid)
+    # same prompt again: newly processed tokens shrink to ~1 (re-eval last);
+    # usage still reports the full prompt (reference num_prompt_tokens)
+    tid = engine.request_completion(greedy(prompt="the quick brown fox jumps", n=4))
+    _, f2 = collect(engine, tid)
+    assert f2.text == f1.text
+    assert f2.timings["prompt_n"] <= 2
+    assert f2.tokens_evaluated == f1.tokens_evaluated
+
+
+def test_cancel(engine):
+    p = greedy(prompt="hello world", n=100000)
+    p.stream = True
+    tid = engine.request_completion(p)
+    engine.next_result(tid, timeout=60.0)  # wait for first delta
+    engine.request_cancel(tid)
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        r = engine.next_result(tid, timeout=30.0)
+        if r.stop:
+            return
+    raise AssertionError("cancel did not finalize the task")
+
+
+def test_embedding(engine):
+    p = CompletionParams(prompt="hello world", embedding=True, n_predict=0)
+    tid = engine.request_completion(p)
+    _, final = collect(engine, tid)
+    v = np.asarray(final.embedding)
+    assert v.shape == (engine.cfg.n_embd,)
+    np.testing.assert_allclose(np.linalg.norm(v), 1.0, rtol=1e-5)
+    # deterministic
+    tid = engine.request_completion(CompletionParams(prompt="hello world",
+                                                     embedding=True))
+    _, f2 = collect(engine, tid)
+    np.testing.assert_allclose(v, np.asarray(f2.embedding), rtol=1e-5, atol=1e-6)
+
+
+def test_n_probs(engine):
+    p = greedy(prompt="hello", n=3)
+    p.sampling.n_probs = 4
+    tid = engine.request_completion(p)
+    _, final = collect(engine, tid)
+    assert len(final.probs) == final.tokens_predicted
+    for entry in final.probs:
+        assert len(entry["top"]) >= 4
+        lps = [t["logprob"] for t in entry["top"][:4]]
+        assert lps == sorted(lps, reverse=True)
+
+
+def test_grammar_constrained(engine):
+    p = greedy(prompt="hello", n=20)
+    p.sampling.grammar = 'root ::= "yes" | "no"\n'
+    tid = engine.request_completion(p)
+    _, final = collect(engine, tid)
+    assert final.text in ("yes", "no")
+
+
+def test_json_schema_constrained(engine):
+    p = greedy(prompt="give me json", n=60)
+    p.json_schema = {
+        "type": "object",
+        "properties": {"ok": {"type": "boolean"}},
+        "required": ["ok"],
+    }
+    tid = engine.request_completion(p)
+    _, final = collect(engine, tid)
+    import json as _json
+
+    obj = _json.loads(final.text)
+    assert set(obj) == {"ok"} and isinstance(obj["ok"], bool)
+
+
+def test_long_prompt_truncation(engine):
+    # slot ctx = 256/2 = 128; prompt of 200 tokens must truncate, not crash
+    ids = [5 + (i % 300) for i in range(200)]
+    p = greedy(prompt="x", n=2)
+    p.prompt = ids
+    tid = engine.request_completion(p)
+    _, final = collect(engine, tid)
+    assert final.truncated
+    assert final.tokens_predicted > 0

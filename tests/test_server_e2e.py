@@ -1,0 +1,193 @@
+"""End-to-end HTTP test mirroring the reference's e2e smoke flow
+(.github/scripts/e2e-test-server.py: load chat model -> 2 streamed chat
+completions -> embeddings from the LLM model -> unload -> load embedding
+model -> embeddings -> unload; SURVEY.md section 4)."""
+
+import base64
+import json
+import socket
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from tests.models import build_test_gguf
+from tpu_engine.api.server import make_server
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    d = tmp_path_factory.mktemp("srv")
+    model_path = str(d / "tiny.gguf")
+    build_test_gguf(model_path, "q8_0", seed=3)
+    port = _free_port()
+    srv = make_server("127.0.0.1", port)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}", model_path
+    srv.shutdown()
+    srv.registry.unload_all()
+
+
+def post(base, path, body, timeout=300.0):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def get(base, path):
+    with urllib.request.urlopen(base + path, timeout=60) as r:
+        return r.status, json.loads(r.read())
+
+
+def sse_chat(base, body, timeout=300.0):
+    req = urllib.request.Request(
+        base + "/v1/chat/completions", data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    chunks = []
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        assert r.headers.get("Content-Type", "").startswith("text/event-stream")
+        buf = b""
+        for line in r:
+            line = line.strip()
+            if not line.startswith(b"data: "):
+                continue
+            payload = line[len(b"data: "):]
+            if payload == b"[DONE]":
+                break
+            chunks.append(json.loads(payload))
+    return chunks
+
+
+def test_full_cortex_flow(server):
+    base, model_path = server
+
+    # 1) load model (reference e2e step 1)
+    status, resp = post(base, "/loadmodel", {
+        "llama_model_path": model_path,
+        "model_alias": "tinyllama",
+        "model": "tinyllama",
+        "ctx_len": 256,
+        "n_parallel": 2,
+        "engine": "cortex.llamacpp",
+    })
+    assert status == 200, resp
+
+    # 2) model status + models list
+    status, resp = post(base, "/modelstatus", {"model": "tinyllama"})
+    assert status == 200 and resp["model_loaded"]
+    status, resp = get(base, "/models")
+    assert status == 200
+    assert resp["data"][0]["id"] == "tinyllama"
+    assert int(resp["data"][0]["model_size"]) > 0
+
+    # 3) two streamed chat completions (reference runs 2)
+    for i in range(2):
+        chunks = sse_chat(base, {
+            "model": "tinyllama",
+            "stream": True,
+            "max_tokens": 8,
+            "temperature": 0,
+            "messages": [{"role": "user", "content": f"hello world {i}"}],
+            "stream_options": {"include_usage": True},
+        })
+        assert chunks[0]["choices"][0]["delta"].get("role") == "assistant"
+        finishes = [c["choices"][0]["finish_reason"] for c in chunks if c["choices"]]
+        assert finishes[-1] in ("stop", "length")
+        usage = [c for c in chunks if c.get("usage")]
+        assert usage and usage[-1]["usage"]["total_tokens"] > 0
+
+    # 4) non-stream with logprobs
+    status, resp = post(base, "/v1/chat/completions", {
+        "model": "tinyllama",
+        "max_tokens": 4,
+        "temperature": 0,
+        "logprobs": True,
+        "top_logprobs": 3,
+        "messages": [{"role": "user", "content": "hi"}],
+    })
+    assert status == 200
+    choice = resp["choices"][0]
+    assert resp["object"] == "chat.completion"
+    assert resp["usage"]["completion_tokens"] > 0
+    assert "logprobs" in choice and len(choice["logprobs"]["content"]) > 0
+    assert len(choice["logprobs"]["content"][0]["top_logprobs"]) >= 3
+
+    # 5) embeddings from the LLM model (reference e2e does exactly this)
+    status, resp = post(base, "/v1/embeddings", {
+        "model": "tinyllama",
+        "input": ["hello world", "the quick brown fox"],
+    })
+    assert status == 200
+    assert len(resp["data"]) == 2
+    v = np.asarray(resp["data"][0]["embedding"])
+    np.testing.assert_allclose(np.linalg.norm(v), 1.0, rtol=1e-4)
+
+    # 5b) base64 encoding_format (reference llama_engine.cc:92-114)
+    status, resp = post(base, "/v1/embeddings", {
+        "model": "tinyllama", "input": "hello world", "encoding_format": "base64",
+    })
+    assert status == 200
+    raw = base64.b64decode(resp["data"][0]["embedding"])
+    v64 = np.frombuffer(raw, np.float32)
+    np.testing.assert_allclose(np.linalg.norm(v64), 1.0, rtol=1e-4)
+
+    # 6) token-array input form
+    status, resp = post(base, "/v1/embeddings", {
+        "model": "tinyllama", "input": [1, 5, 9],
+    })
+    assert status == 200 and len(resp["data"]) == 1
+
+    # 7) wrong model id -> 409 (reference CheckModelLoaded)
+    status, resp = post(base, "/v1/embeddings", {"model": "nope", "input": "x"})
+    assert status == 409
+
+    # 8) unload -> further status 409
+    status, resp = post(base, "/unloadmodel", {"model": "tinyllama"})
+    assert status == 200
+    status, resp = post(base, "/modelstatus", {"model": "tinyllama"})
+    assert status == 409
+
+    # 9) reload as embedding model type (reference e2e second phase)
+    status, resp = post(base, "/loadmodel", {
+        "llama_model_path": model_path,
+        "model": "tinyembed",
+        "model_type": "embedding",
+        "n_parallel": 1,
+        "ctx_len": 256,
+    })
+    assert status == 200, resp
+    status, resp = post(base, "/v1/embeddings", {"model": "tinyembed", "input": "hi"})
+    assert status == 200
+    status, resp = post(base, "/unloadmodel", {"model": "tinyembed"})
+    assert status == 200
+
+
+def test_load_errors(server):
+    base, model_path = server
+    status, resp = post(base, "/loadmodel", {"llama_model_path": "/nope.gguf",
+                                             "model": "ghost"})
+    assert status == 400
+    status, resp = post(base, "/loadmodel", {})
+    assert status == 400
+    # chat against unloaded model
+    status, resp = post(base, "/v1/chat/completions", {
+        "model": "ghost", "messages": [{"role": "user", "content": "x"}]})
+    assert status == 409

@@ -1,0 +1,366 @@
+"""GBNF parser + incremental pushdown matcher for constrained decoding.
+
+TPU-native rebuild of the llama.cpp grammar engine the reference drives via
+sparams.grammar (/root/reference/src/llama_server_context.cc:473, grammar
+files llama_engine.cc:573-585; SURVEY.md section 2b "Grammar (GBNF)"):
+rules -> alternates -> (char-ranges | rule refs), a pushdown automaton over
+code points, and a vocabulary *trie* walk so computing the per-step token
+mask is O(reachable-trie-nodes), not O(vocab x piece-len)
+(SURVEY.md section 7 "Grammar masking at vocab scale").
+
+GBNF syntax: rule ::= alternates; literals "..", char classes [a-z0-9^..],
+groups ( ), repetition * + ? and {m}, {m,n}, rule refs, # comments.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+# elements: ("char", ((lo, hi), ...)) | ("nchar", ranges) | ("ref", rule_idx)
+
+
+class GBNFError(ValueError):
+    pass
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.text = text
+        self.pos = 0
+        self.rules: dict[str, int] = {}
+        self.bodies: list[list[list[tuple]] | None] = []
+        self.counter = 0
+
+    def rule_id(self, name: str) -> int:
+        if name not in self.rules:
+            self.rules[name] = len(self.bodies)
+            self.bodies.append(None)
+        return self.rules[name]
+
+    # -- lexing helpers ----------------------------------------------------
+    def _ws(self, newlines: bool = False) -> None:
+        while self.pos < len(self.text):
+            c = self.text[self.pos]
+            if c == "#":
+                while self.pos < len(self.text) and self.text[self.pos] != "\n":
+                    self.pos += 1
+            elif c in " \t" or (newlines and c in "\r\n"):
+                self.pos += 1
+            elif c == "\\" and self.pos + 1 < len(self.text) and self.text[self.pos + 1] == "\n":
+                self.pos += 2
+            else:
+                return
+
+    def _peek(self) -> str:
+        return self.text[self.pos] if self.pos < len(self.text) else ""
+
+    def _name(self) -> str:
+        start = self.pos
+        while self._peek().isalnum() or self._peek() in ("-", "_"):
+            self.pos += 1
+        if start == self.pos:
+            raise GBNFError(f"expected rule name at {self.pos}")
+        return self.text[start : self.pos]
+
+    def _escaped_char(self) -> int:
+        c = self.text[self.pos]
+        self.pos += 1
+        if c != "\\":
+            return ord(c)
+        e = self.text[self.pos]
+        self.pos += 1
+        table = {"n": 10, "t": 9, "r": 13, '"': 34, "\\": 92, "/": 47, "'": 39,
+                 "]": 93, "[": 91, "^": 94, "-": 45}
+        if e in table:
+            return table[e]
+        if e in ("x", "u", "U"):
+            n = {"x": 2, "u": 4, "U": 8}[e]
+            v = int(self.text[self.pos : self.pos + n], 16)
+            self.pos += n
+            return v
+        raise GBNFError(f"bad escape \\{e}")
+
+    # -- grammar parsing ---------------------------------------------------
+    def parse(self) -> tuple[list[list[list[tuple]]], int]:
+        self._ws(newlines=True)
+        while self.pos < len(self.text):
+            self._parse_rule()
+            self._ws(newlines=True)
+        if "root" not in self.rules:
+            raise GBNFError("no root rule")
+        for name, rid in self.rules.items():
+            if self.bodies[rid] is None:
+                raise GBNFError(f"undefined rule {name}")
+        return self.bodies, self.rules["root"]
+
+    def _parse_rule(self) -> None:
+        name = self._name()
+        self._ws()
+        if self.text[self.pos : self.pos + 3] != "::=":
+            raise GBNFError(f"expected ::= after {name}")
+        self.pos += 3
+        self._ws()
+        rid = self.rule_id(name)
+        alts = self._parse_alternates(name)
+        if self.bodies[rid] is not None:
+            raise GBNFError(f"duplicate rule {name}")
+        self.bodies[rid] = alts
+        # consume end-of-line ("" at EOF must not match: '"" in str' is True)
+        self._ws()
+        while self._peek() and self._peek() in "\r\n":
+            self.pos += 1
+            self._ws()
+
+    def _parse_alternates(self, base: str, nested: bool = False) -> list[list[tuple]]:
+        alts = [self._parse_sequence(base, nested)]
+        self._ws(newlines=nested)
+        while self._peek() == "|":
+            self.pos += 1
+            self._ws(newlines=True)
+            alts.append(self._parse_sequence(base, nested))
+            self._ws(newlines=nested)
+        return alts
+
+    def _aux_rule(self, base: str, alts: list[list[tuple]]) -> int:
+        self.counter += 1
+        rid = self.rule_id(f"{base}@{self.counter}")
+        self.bodies[rid] = alts
+        return rid
+
+    def _parse_sequence(self, base: str, nested: bool) -> list[tuple]:
+        seq: list[tuple] = []
+        while True:
+            self._ws(newlines=nested)
+            c = self._peek()
+            if c == '"':
+                self.pos += 1
+                while self._peek() != '"':
+                    if not self._peek():
+                        raise GBNFError("unterminated string")
+                    cp = self._escaped_char()
+                    seq.append(("char", ((cp, cp),)))
+                self.pos += 1
+            elif c == "[":
+                self.pos += 1
+                neg = self._peek() == "^"
+                if neg:
+                    self.pos += 1
+                ranges = []
+                while self._peek() != "]":
+                    if not self._peek():
+                        raise GBNFError("unterminated char class")
+                    lo = self._escaped_char()
+                    hi = lo
+                    if self._peek() == "-" and self.text[self.pos + 1] != "]":
+                        self.pos += 1
+                        hi = self._escaped_char()
+                    ranges.append((lo, hi))
+                self.pos += 1
+                seq.append(("nchar" if neg else "char", tuple(ranges)))
+            elif c == "(":
+                self.pos += 1
+                alts = self._parse_alternates(base, nested=True)
+                self._ws(newlines=True)
+                if self._peek() != ")":
+                    raise GBNFError("expected )")
+                self.pos += 1
+                seq.append(("ref", self._aux_rule(base, alts)))
+            elif c.isalnum() or c in ("-", "_"):
+                save = self.pos
+                name = self._name()
+                self._ws()
+                if self.text[self.pos : self.pos + 3] == "::=":
+                    self.pos = save  # start of the next rule definition
+                    break
+                seq.append(("ref", self.rule_id(name)))
+            else:
+                break
+
+            # repetition operators bind to the last element
+            self._ws()
+            op = self._peek()
+            if op in ("*", "+", "?", "{"):
+                if not seq:
+                    raise GBNFError("repetition without target")
+                last = seq.pop()
+                if op == "*":
+                    self.pos += 1
+                    rid = self._aux_rule(base, [])
+                    self.bodies[rid] = [[last, ("ref", rid)], []]
+                    seq.append(("ref", rid))
+                elif op == "+":
+                    self.pos += 1
+                    rid = self._aux_rule(base, [])
+                    self.bodies[rid] = [[last, ("ref", rid)], [last]]
+                    seq.append(("ref", rid))
+                elif op == "?":
+                    self.pos += 1
+                    rid = self._aux_rule(base, [[last], []])
+                    seq.append(("ref", rid))
+                else:  # {m} or {m,n} or {m,}
+                    self.pos += 1
+                    spec = ""
+                    while self._peek() != "}":
+                        spec += self.text[self.pos]
+                        self.pos += 1
+                    self.pos += 1
+                    if "," in spec:
+                        ms, ns = spec.split(",", 1)
+                        m = int(ms) if ms.strip() else 0
+                        n = int(ns) if ns.strip() else -1
+                    else:
+                        m = n = int(spec)
+                    seq.extend([last] * m)
+                    if n < 0:  # {m,} -> m copies + star
+                        rid = self._aux_rule(base, [])
+                        self.bodies[rid] = [[last, ("ref", rid)], []]
+                        seq.append(("ref", rid))
+                    else:
+                        for _ in range(n - m):
+                            rid = self._aux_rule(base, [[last], []])
+                            seq.append(("ref", rid))
+        return seq
+
+
+def parse_gbnf(text: str):
+    return _Parser(text).parse()
+
+
+def _match(elem: tuple, cp: int) -> bool:
+    kind, ranges = elem
+    hit = any(lo <= cp <= hi for lo, hi in ranges)
+    return hit if kind == "char" else not hit
+
+
+class _VocabTrie:
+    """Trie over token piece code points; built once per (tokenizer)."""
+
+    __slots__ = ("children", "tokens")
+
+    def __init__(self):
+        self.children: dict[int, _VocabTrie] = {}
+        self.tokens: list[int] = []  # token ids whose piece ends here
+
+    @classmethod
+    def build(cls, tok) -> "_VocabTrie":
+        root = cls()
+        for tid in range(tok.n_tokens):
+            piece = tok.piece_bytes(tid, special=False)
+            if not piece:
+                continue
+            try:
+                s = piece.decode("utf-8")
+            except UnicodeDecodeError:
+                s = piece.decode("latin-1")  # byte tokens: approximate as U+00XX
+            node = root
+            for ch in s:
+                cp = ord(ch)
+                nxt = node.children.get(cp)
+                if nxt is None:
+                    nxt = cls()
+                    node.children[cp] = nxt
+                node = nxt
+            node.tokens.append(tid)
+        return root
+
+
+_TRIE_CACHE: dict[int, _VocabTrie] = {}
+
+
+class GrammarMatcher:
+    def __init__(self, bodies, root_id: int, tok):
+        self.bodies = bodies
+        self.root_id = root_id
+        self.tok = tok
+        key = id(tok)
+        if key not in _TRIE_CACHE:
+            _TRIE_CACHE[key] = _VocabTrie.build(tok)
+        self.trie = _TRIE_CACHE[key]
+        self.reset()
+
+    def reset(self) -> None:
+        self.stacks = self._expand((("ref", self.root_id),))
+
+    # stacks: frozenset of tuples of elements; TOP OF STACK IS THE LAST entry
+    def _expand(self, stack: tuple) -> set:
+        """Expand refs until the top of each stack is a char element."""
+        out: set = set()
+        work = [tuple(stack)]
+        seen = set()
+        while work:
+            st = work.pop()
+            if st in seen:
+                continue
+            seen.add(st)
+            if not st:
+                out.add(st)
+                continue
+            top = st[-1]
+            if top[0] in ("char", "nchar"):
+                out.add(st)
+                continue
+            # ref: substitute each alternate (reversed so seq[0] is on top)
+            rest = st[:-1]
+            for alt in self.bodies[top[1]]:
+                work.append(rest + tuple(reversed(alt)))
+        return out
+
+    def _advance(self, stacks: set, cp: int) -> set:
+        out: set = set()
+        for st in stacks:
+            if not st:
+                continue
+            if _match(st[-1], cp):
+                out |= self._expand(st[:-1])
+        return out
+
+    # -- public API ----------------------------------------------------------
+    def accept(self, token_id: int) -> None:
+        piece = self.tok.piece_bytes(int(token_id), special=False)
+        if not piece:
+            return
+        try:
+            s = piece.decode("utf-8")
+        except UnicodeDecodeError:
+            s = piece.decode("latin-1")
+        for ch in s:
+            nxt = self._advance(self.stacks, ord(ch))
+            if not nxt:
+                return  # token was not grammar-legal (e.g. forced); freeze
+            self.stacks = nxt
+
+    def done(self) -> bool:
+        """True when only the completed parse remains."""
+        return all(not st for st in self.stacks) and bool(self.stacks)
+
+    def can_stop(self) -> bool:
+        return any(not st for st in self.stacks)
+
+    def allowed_mask(self) -> np.ndarray:
+        """Boolean mask [n_vocab] of tokens whose piece extends some parse."""
+        mask = np.zeros(self.tok.n_tokens, dtype=bool)
+        # walk the vocab trie in lockstep with the automaton
+        work = [(self.trie, self.stacks)]
+        while work:
+            node, stacks = work.pop()
+            if node.tokens:
+                for t in node.tokens:
+                    mask[t] = True
+            for cp, child in node.children.items():
+                nxt = self._advance(stacks, cp)
+                if nxt:
+                    work.append((child, nxt))
+        if self.can_stop():
+            for t in (self.tok.eos_id, self.tok.eot_id, self.tok.eom_id):
+                if t is not None and t >= 0:
+                    mask[t] = True
+            for t in getattr(self.tok, "_eog_extra", ()):
+                mask[t] = True
+        return mask
+
+
+def build_matcher(grammar_text: str, tok) -> GrammarMatcher:
+    bodies, root_id = parse_gbnf(grammar_text)
+    return GrammarMatcher(bodies, root_id, tok)

@@ -1,0 +1,527 @@
+"""The serving engine: slots, task/result queues, continuous batching.
+
+TPU-native rebuild of the reference's LlamaServerContext decode loop
+(SURVEY.md section 3.3; /root/reference/src/llama_server_context.cc:1248-1710):
+a background thread drains a task queue, launches slots, prefills prompts
+in fixed-shape buckets, and runs ONE batched decode step per iteration for
+all generating slots. Where ggml rebuilt a ragged batch per iteration, we
+hold shapes fixed ([n_slots, 1] decode; [1, bucket] prefill) so XLA compiles
+each executable once (SURVEY.md section 7 "Dynamic shapes vs XLA").
+
+Capability parity with the reference loop:
+  - continuous batching (prompts prefill while other slots generate)
+  - prompt-prefix cache reuse (common_part, ref :1489-1505)
+  - input truncation keep-head + recent-half-blocks (ref :1452-1485)
+  - context shift with head pinning (ref :1274-1306)
+  - stop-word full/partial scanning with stream hold-back (ref :687-714)
+  - incomplete-UTF-8 hold-back (via StreamDetokenizer)
+  - per-slot sampling chain + budget (ref :434-641)
+  - embeddings with mean pooling + L2 normalize (ref :1026-1070)
+  - self-extend group attention (ga_n/ga_w position remap in-kernel)
+  - per-request timings (ref llama_client_slot.cc:62-94)
+  - per-slot error isolation + cancel/force-stop (ref :1162-1171)
+"""
+
+from __future__ import annotations
+
+import itertools
+import logging
+import queue
+import threading
+import time
+import traceback
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..kvcache.cache import clear_all, new_cache, shift_compact, trim
+from ..model.llama import forward_step
+from ..model.loader import LoadedModel
+from ..sampling import Sampler
+from ..tokenizer import StreamDetokenizer
+from ..utils.text import find_full_stop, partial_stop_len
+from .slot import Slot, SlotState
+from .types import CompletionParams, StopReason, Task, TaskResult, TaskType
+
+log = logging.getLogger("tpu_engine.serve")
+
+PREFILL_BUCKETS = (16, 32, 64, 128, 256, 512)
+
+
+class InferenceEngine:
+    def __init__(
+        self,
+        model: LoadedModel,
+        n_ctx: int = 2048,
+        n_parallel: int = 1,
+        n_batch: int = 512,
+        cont_batching: bool = True,
+        ctx_shift: bool = True,
+        grp_attn_n: int = 1,
+        grp_attn_w: int = 512,
+        kv_cache_dtype=jnp.float32,
+        prefill_buckets=PREFILL_BUCKETS,
+    ):
+        self.model = model
+        self.cfg = model.cfg
+        self.tok = model.tokenizer
+        self.n_parallel = n_parallel
+        # the context is split across slots (reference llama_server_context.cc:250-262)
+        self.slot_ctx = max(n_ctx // n_parallel, 8)
+        self.n_batch = n_batch
+        self.cont_batching = cont_batching
+        self.ctx_shift = ctx_shift
+        self.ga_n = grp_attn_n
+        self.ga_w = grp_attn_w
+        self.prefill_buckets = tuple(b for b in prefill_buckets if b <= max(n_batch, 16))
+
+        self.cache = new_cache(
+            self.cfg.n_layer, n_parallel, self.slot_ctx,
+            self.cfg.n_kv_head, self.cfg.head_dim, dtype=kv_cache_dtype,
+        )
+        self.slots = [Slot(i, self.slot_ctx) for i in range(n_parallel)]
+
+        self._task_counter = itertools.count(1)
+        self._tasks: queue.Queue[Task] = queue.Queue()
+        self._deferred: list[Task] = []
+        self._results: dict[int, queue.Queue] = {}
+        self._results_lock = threading.Lock()
+        self._wake = threading.Condition()
+        self._running = True
+        self._model_loaded = True
+        self.n_requests = 0
+        self.start_time = time.time()
+        self._thread = threading.Thread(target=self._loop, daemon=True, name="engine-loop")
+        self._thread.start()
+
+    # ------------------------------------------------------------------ api
+    def request_completion(self, params: CompletionParams) -> int:
+        """Reference: LlamaServerContext::RequestCompletion (:295-323)."""
+        task_id = next(self._task_counter)
+        with self._results_lock:
+            self._results[task_id] = queue.Queue()
+        self.n_requests += 1
+        with self._wake:
+            self._tasks.put(Task(id=task_id, type=TaskType.COMPLETION, params=params))
+            self._wake.notify()
+        return task_id
+
+    def next_result(self, task_id: int, timeout: float | None = 600.0) -> TaskResult:
+        """Blocking per-task result stream (reference NextResult :325-352)."""
+        with self._results_lock:
+            q = self._results.get(task_id)
+        if q is None:
+            return TaskResult(task_id=task_id, error=True, stop=True,
+                              error_message="unknown task")
+        try:
+            res = q.get(timeout=timeout)
+        except queue.Empty:
+            return TaskResult(task_id=task_id, error=True, stop=True,
+                              error_message="timeout waiting for result")
+        if res.stop or res.error:
+            with self._results_lock:
+                self._results.pop(task_id, None)
+        return res
+
+    def request_cancel(self, task_id: int) -> None:
+        with self._wake:
+            self._tasks.put(Task(id=next(self._task_counter), type=TaskType.CANCEL,
+                                 target_id=task_id))
+            self._wake.notify()
+
+    def kv_cache_clear(self) -> None:
+        with self._wake:
+            self._kv_clear_requested = True
+            self._wake.notify()
+
+    def shutdown(self) -> None:
+        """Reference: ReleaseResources (:366-380)."""
+        self._running = False
+        with self._wake:
+            self._wake.notify()
+        self._thread.join(timeout=30.0)
+
+    def warm_up(self, n_predict: int = 2) -> None:
+        """Compile the hot executables before serving (reference WarmUpModel,
+        llama_engine.cc:1247-1267)."""
+        params = CompletionParams(prompt="Hello", n_predict=n_predict)
+        params.sampling.temperature = 0.0
+        tid = self.request_completion(params)
+        while True:
+            r = self.next_result(tid)
+            if r.stop or r.error:
+                break
+
+    # ------------------------------------------------------------- internals
+    def _emit(self, task_id: int, res: TaskResult) -> None:
+        with self._results_lock:
+            q = self._results.get(task_id)
+        if q is not None:
+            q.put(res)
+
+    def _loop(self) -> None:
+        self._kv_clear_requested = False
+        while self._running:
+            try:
+                self._process_tasks()
+                busy = any(s.is_processing() for s in self.slots)
+                if not busy:
+                    if self._kv_clear_requested:
+                        self.cache = clear_all(self.cache)
+                        for s in self.slots:
+                            s.cache_tokens = []
+                            s.n_past = 0
+                        self._kv_clear_requested = False
+                    with self._wake:
+                        if self._tasks.empty() and not self._deferred and self._running:
+                            self._wake.wait(timeout=0.5)
+                    continue
+                self._update_slots()
+            except Exception as e:  # engine-level failure: fail all active slots
+                log.error("engine loop error: %s\n%s", e, traceback.format_exc())
+                for s in self.slots:
+                    if s.is_processing():
+                        self._emit(s.task_id, TaskResult(
+                            task_id=s.task_id, error=True, stop=True,
+                            error_message=f"engine error: {e}"))
+                        s.release()
+
+    def _process_tasks(self) -> None:
+        # retry deferred tasks first (reference defers when no slot is free)
+        pending = self._deferred
+        self._deferred = []
+        for t in pending:
+            self._dispatch(t)
+        while True:
+            try:
+                t = self._tasks.get_nowait()
+            except queue.Empty:
+                return
+            self._dispatch(t)
+
+    def _dispatch(self, task: Task) -> None:
+        if task.type == TaskType.CANCEL:
+            for s in self.slots:
+                if s.task_id == task.target_id and s.is_processing():
+                    self._final_result(s, cancelled=True)
+                    s.release()
+            return
+        slot = self._get_slot(task)
+        if slot is None:
+            self._deferred.append(task)
+            return
+        try:
+            self._launch_slot(slot, task)
+        except Exception as e:
+            log.error("launch failed: %s\n%s", e, traceback.format_exc())
+            self._emit(task.id, TaskResult(task_id=task.id, error=True, stop=True,
+                                           error_message=str(e)))
+            slot.release()
+
+    def _get_slot(self, task: Task | None = None) -> Slot | None:
+        """Idle slot. The reference picks least-recently-used (GetSlot
+        :416-432); we first prefer the free slot whose cached tokens share
+        the longest prefix with the new prompt (prompt-cache-aware routing,
+        as upstream llama.cpp's slot_prompt_similarity later added)."""
+        free = [s for s in self.slots if s.available()]
+        if not free:
+            return None
+        p = task.params if task else None
+        if p is not None and p.cache_prompt and isinstance(p.prompt, (str, list)):
+            if isinstance(p.prompt, str):
+                ids = self.tok.encode(p.prompt, add_special=True, parse_special=True)
+            else:
+                ids = [int(t) for t in p.prompt]
+
+            def common(s: Slot) -> int:
+                n = 0
+                for a, b in zip(s.cache_tokens, ids):
+                    if a != b:
+                        break
+                    n += 1
+                return n
+
+            best = max(free, key=lambda s: (common(s), -s.t_last_used))
+            if common(best) > 0:
+                return best
+        return min(free, key=lambda s: s.t_last_used)
+
+    # -- launch --------------------------------------------------------------
+    def _launch_slot(self, slot: Slot, task: Task) -> None:
+        """Reference: LaunchSlotWithData (:434-641)."""
+        p = task.params
+        sampler = Sampler(p.sampling, self.cfg.n_vocab, eos_id=self.tok.eos_id)
+        if p.sampling.grammar or p.json_schema:
+            from ..grammar import build_matcher
+
+            grammar_src = p.sampling.grammar
+            if not grammar_src and p.json_schema is not None:
+                from ..grammar.json_schema import json_schema_to_grammar
+
+                grammar_src = json_schema_to_grammar(p.json_schema)
+            sampler.grammar_matcher = build_matcher(grammar_src, self.tok)
+        slot.launch(task.id, p, sampler, StreamDetokenizer(self.tok))
+
+        # tokenize (reference :1374-1414, infill FIM assembly :1381-1409)
+        if p.infill:
+            ids = self._build_infill_prompt(p)
+        elif isinstance(p.prompt, str):
+            ids = self.tok.encode(p.prompt, add_special=True, parse_special=True)
+        else:
+            ids = [int(t) for t in p.prompt]
+        if not ids:
+            ids = [self.tok.bos_id] if self.tok.bos_id >= 0 else [0]
+
+        # input truncation: keep n_keep head + most recent half-blocks
+        # (reference :1452-1485)
+        n_ctx_slot = self.slot_ctx
+        if len(ids) >= n_ctx_slot:
+            n_keep = p.n_keep
+            if n_keep < 0:
+                n_keep = len(ids)
+            n_keep = min(n_ctx_slot - 4, n_keep + (1 if self.tok.add_bos else 0))
+            n_left = n_ctx_slot - n_keep
+            n_block = max(n_left // 2, 1)
+            erased = (len(ids) - n_keep - n_block) // n_block
+            ids = ids[:n_keep] + ids[n_keep + max(erased, 1) * n_block :]
+            slot.truncated = True
+            if len(ids) >= n_ctx_slot:  # still too long: hard cut from the left
+                ids = ids[:n_keep] + ids[len(ids) - (n_ctx_slot - n_keep - 1):]
+        slot.prompt_tokens = ids
+
+        # prompt-prefix cache (reference common_part :1489-1505)
+        n_past = 0
+        if p.cache_prompt and slot.cache_tokens:
+            for a, b in zip(slot.cache_tokens, ids):
+                if a != b:
+                    break
+                n_past += 1
+            # always re-eval at least the last token for logits (ref :1508-1514)
+            if n_past == len(ids):
+                n_past -= 1
+        n_past = max(n_past, 0)
+        slot.n_past = n_past
+        slot.n_prompt_done = n_past
+        self.cache = trim(self.cache, jnp.int32(slot.id), jnp.int32(n_past))
+        slot.cache_tokens = slot.cache_tokens[:n_past]
+        # sampler sees the full history incl. reused prefix (ref :1493-1496)
+        for t in ids:
+            sampler.accept(t, apply_grammar=False)
+        # timings count only newly-processed tokens; usage reports the full
+        # prompt (reference num_prompt_tokens in tokens_evaluated)
+        slot.timings.prompt_n = len(ids) - n_past
+
+    def _build_infill_prompt(self, p: CompletionParams) -> list[int]:
+        """FIM prompt assembly (reference :1381-1409)."""
+        tok = self.tok
+        pre = tok.encode(p.input_prefix, add_special=False, parse_special=False)
+        suf = tok.encode(p.input_suffix, add_special=False, parse_special=False)
+        ids: list[int] = []
+        if tok.add_bos and tok.bos_id >= 0:
+            ids.append(tok.bos_id)
+        if tok.fim_pre_id >= 0 and tok.fim_suf_id >= 0 and tok.fim_mid_id >= 0:
+            ids += [tok.fim_pre_id] + pre + [tok.fim_suf_id] + suf + [tok.fim_mid_id]
+        else:  # no FIM vocab: plain concatenation
+            ids += pre + suf
+        return ids
+
+    # -- the hot loop --------------------------------------------------------
+    def _update_slots(self) -> None:
+        """One engine iteration (reference UpdateSlots :1248-1710)."""
+        # 1) context shift for generating slots at capacity (ref :1274-1306)
+        for s in self.slots:
+            if s.state == SlotState.GENERATING and s.n_past >= self.slot_ctx:
+                if not self.ctx_shift:
+                    s.truncated = True
+                    s.stop_reason = StopReason.LIMIT
+                    self._finish_slot(s)
+                    continue
+                n_keep = (s.params.n_keep if s.params else 0)
+                if n_keep < 0:
+                    n_keep = 0
+                n_keep += 1 if self.tok.add_bos else 0
+                n_discard = max((s.n_past - n_keep) // 2, 1)
+                self.cache = shift_compact(
+                    self.cache, jnp.int32(s.id), jnp.int32(n_keep), jnp.int32(n_discard)
+                )
+                s.cache_tokens = s.cache_tokens[:n_keep + 1] + s.cache_tokens[n_keep + 1 + n_discard:]
+                s.n_past -= n_discard
+                s.truncated = True
+
+        # 2) prefill one chunk per prompt-processing slot (ref :1355-1621)
+        generating = [s for s in self.slots if s.state == SlotState.GENERATING]
+        for s in self.slots:
+            if s.state != SlotState.PROCESSING_PROMPT:
+                continue
+            if not self.cont_batching and generating:
+                break  # without continuous batching, prompts wait for drain
+            self._prefill_chunk(s)
+
+        # 3) one batched decode step for all generating slots (ref :1309-1348)
+        self._decode_step()
+
+    def _prefill_chunk(self, s: Slot) -> None:
+        remaining = len(s.prompt_tokens) - s.n_prompt_done
+        if remaining <= 0:
+            return
+        chunk = min(remaining, self.n_batch, max(self.prefill_buckets))
+        bucket = next((b for b in self.prefill_buckets if b >= chunk),
+                      max(self.prefill_buckets))
+        chunk = min(chunk, bucket)
+        toks = s.prompt_tokens[s.n_prompt_done : s.n_prompt_done + chunk]
+        padded = toks + [0] * (bucket - chunk)
+        is_last = s.n_prompt_done + chunk == len(s.prompt_tokens)
+        want_hidden = bool(s.params and s.params.embedding)
+
+        logits, self.cache, pooled = forward_step(
+            self.model.weights, self.cache,
+            jnp.asarray([padded], jnp.int32),
+            jnp.asarray([s.id], jnp.int32),
+            jnp.asarray([True]),
+            self.cfg,
+            ga_n=self.ga_n, ga_w=self.ga_w,
+            n_valid=jnp.asarray([chunk], jnp.int32),
+            collect_hidden=want_hidden,
+        )
+        s.n_prompt_done += chunk
+        s.n_past += chunk
+        s.cache_tokens.extend(toks)
+
+        if want_hidden:
+            part = np.asarray(pooled[0], np.float64) * chunk
+            if s.embed_sum is None:
+                s.embed_sum = part
+            else:
+                s.embed_sum = s.embed_sum + part
+            s.embed_count += chunk
+
+        if not is_last:
+            return
+        s.timings.prompt_ms = (time.time() - s.t_start_prompt) * 1000.0
+        s.t_start_gen = time.time()
+        if want_hidden:
+            self._send_embedding(s)
+            s.release()
+            return
+        s.state = SlotState.GENERATING
+        token = s.sampler.sample(np.asarray(logits[0]))
+        self._process_token(s, token)
+
+    def _decode_step(self) -> None:
+        gen = [s for s in self.slots if s.state == SlotState.GENERATING]
+        if not gen:
+            return
+        S = self.n_parallel
+        tokens = np.zeros((S, 1), np.int32)
+        active = np.zeros((S,), bool)
+        for s in gen:
+            tokens[s.id, 0] = s.generated_tokens[-1]
+            active[s.id] = True
+        logits, self.cache, _ = forward_step(
+            self.model.weights, self.cache,
+            jnp.asarray(tokens), jnp.arange(S, dtype=jnp.int32),
+            jnp.asarray(active), self.cfg,
+            ga_n=self.ga_n, ga_w=self.ga_w,
+        )
+        logits_np = np.asarray(logits)
+        for s in gen:
+            if s.state != SlotState.GENERATING:
+                continue  # released earlier this iteration
+            s.n_past += 1
+            s.cache_tokens.append(s.generated_tokens[-1])
+            token = s.sampler.sample(logits_np[s.id])
+            self._process_token(s, token)
+            s.timings.predicted_ms = (time.time() - s.t_start_gen) * 1000.0
+
+    # -- token post-processing ----------------------------------------------
+    def _process_token(self, s: Slot, token: int) -> None:
+        """Reference: ProcessToken (:716-813)."""
+        s.generated_tokens.append(token)
+        s.sampler.accept(token)
+        s.timings.predicted_n += 1
+        if s.n_remaining > 0:
+            s.n_remaining -= 1
+
+        if s.params.sampling.n_probs > 0:
+            top = [
+                (tp.token, self.tok.piece_bytes(tp.token).decode("utf-8", "replace"),
+                 tp.logprob)
+                for tp in s.sampler.last_probs
+            ]
+            s.probs_out.append((token, top))
+
+        piece = s.detok.push(token)
+        s.generated_text += piece
+
+        stops = list(s.params.stop) if s.params else []
+        idx, word = find_full_stop(s.generated_text, stops, search_from=max(0, s.sent_offset - 16))
+        if idx != -1:
+            s.generated_text = s.generated_text[:idx]
+            s.stop_reason = StopReason.WORD
+            s.stopping_word = word
+            self._finish_slot(s)
+            return
+        if self.tok.is_eog(token):
+            s.stop_reason = StopReason.EOS
+            self._finish_slot(s)
+            return
+        if not s.has_budget():
+            s.stop_reason = StopReason.LIMIT
+            self._finish_slot(s)
+            return
+        if s.sampler.grammar_matcher is not None and s.sampler.grammar_matcher.done():
+            s.stop_reason = StopReason.EOS
+            self._finish_slot(s)
+            return
+
+        if s.params.stream:
+            hold = partial_stop_len(s.generated_text, stops)
+            releasable = len(s.generated_text) - hold
+            if releasable > s.sent_offset:
+                delta = s.generated_text[s.sent_offset : releasable]
+                s.sent_offset = releasable
+                self._emit(s.task_id, TaskResult(
+                    task_id=s.task_id, text=delta,
+                    tokens_predicted=s.timings.predicted_n,
+                    tokens_evaluated=len(s.prompt_tokens),
+                ))
+
+    def _finish_slot(self, s: Slot, ) -> None:
+        s.generated_text += s.detok.flush()
+        self._final_result(s)
+        s.release()
+
+    def _final_result(self, s: Slot, cancelled: bool = False) -> None:
+        """Reference: SendFinalResponse (:964-1024)."""
+        if s.params and s.params.stream:
+            text = s.generated_text[s.sent_offset :]
+        else:
+            text = s.generated_text
+        probs = [
+            {"token": t, "top": [{"token": tt, "piece": pc, "logprob": lp} for tt, pc, lp in top]}
+            for t, top in s.probs_out
+        ]
+        self._emit(s.task_id, TaskResult(
+            task_id=s.task_id, stop=True, text=text,
+            stop_reason=StopReason.NONE if cancelled else s.stop_reason,
+            stopping_word=s.stopping_word,
+            tokens_predicted=s.timings.predicted_n,
+            tokens_evaluated=len(s.prompt_tokens),
+            truncated=s.truncated,
+            timings=s.timings.to_dict(),
+            probs=probs,
+        ))
+
+    def _send_embedding(self, s: Slot) -> None:
+        """Reference: SendEmbedding (:1026-1070), mean pooling + L2 norm."""
+        vec = np.asarray(s.embed_sum) / max(s.embed_count, 1)
+        norm = float(np.linalg.norm(vec))
+        if norm > 0:
+            vec = vec / norm
+        s.timings.predicted_n = 0
+        self._emit(s.task_id, TaskResult(
+            task_id=s.task_id, stop=True,
+            tokens_evaluated=len(s.prompt_tokens),
+            timings=s.timings.to_dict(),
+            embedding=[float(x) for x in vec],
+        ))

@@ -1,0 +1,207 @@
+"""Multi-model engine registry — the LlamaEngine analog.
+
+Rebuilds the reference's model lifecycle (SURVEY.md section 2a "LlamaEngine";
+/root/reference/src/llama_engine.cc): /loadmodel JSON -> engine options
+(:547-732), model registry keyed by model id (llama_engine.h:68-85),
+warm-up (:1247-1267), status/inventory (:447-504), force-stop set
+(:1278-1298).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import threading
+import time
+
+import jax.numpy as jnp
+
+from ..api.openai import ModelPrompts
+from ..model.loader import LoadedModel, load_model
+from .engine import InferenceEngine
+from .types import CompletionParams
+
+log = logging.getLogger("tpu_engine.registry")
+
+# KV cache types the reference accepts (llama_engine.cc:25-47: f16/q8_0/q4_0)
+VALID_KV_TYPES = {"f16", "q8_0", "q4_0"}
+
+
+def get_model_id(body: dict) -> str:
+    """Reference: llama_utils::GetModelId (llama_utils.h:153-177):
+    model -> model_alias -> basename(llama_model_path|model_path)."""
+    for key in ("model", "model_alias"):
+        v = body.get(key)
+        if v:
+            return str(v)
+    for key in ("llama_model_path", "model_path"):
+        v = body.get(key)
+        if v:
+            base = os.path.basename(str(v))
+            return base[:-5] if base.endswith(".gguf") else base
+    return ""
+
+
+class ModelEntry:
+    def __init__(self, model_id: str, engine: InferenceEngine, model: LoadedModel,
+                 prompts: ModelPrompts, opts: dict):
+        self.model_id = model_id
+        self.engine = engine
+        self.model = model
+        self.prompts = prompts
+        self.opts = opts
+        self.start_time = time.time()
+        self.vram_bytes = model.model_size_bytes  # device-resident weights
+        self.ram_bytes = 0
+
+
+class EngineRegistry:
+    """Thread-safe model_id -> engine map (reference server_map_,
+    llama_engine.h:84-85)."""
+
+    def __init__(self):
+        self._models: dict[str, ModelEntry] = {}
+        self._lock = threading.Lock()
+        self._force_stop: set[str] = set()  # reference fsi_mtx_/force-stop set
+        self.n_chats = 0
+
+    # -- lifecycle -----------------------------------------------------------
+    def load_model(self, body: dict) -> tuple[bool, str]:
+        """Reference: LoadModel/LoadModelImpl (llama_engine.cc:363-423,547-732)."""
+        model_id = get_model_id(body)
+        if not model_id:
+            return False, "No model id found in request"
+        with self._lock:
+            if model_id in self._models:
+                # reference behavior: warn + success (llama_engine.cc:371-380)
+                return True, f"Model {model_id} already loaded"
+        path = body.get("llama_model_path") or body.get("model_path")
+        if not path or not os.path.exists(path):
+            return False, f"Model path does not exist: {path}"
+
+        cache_type = str(body.get("cache_type", "f16")).lower()
+        if cache_type not in VALID_KV_TYPES:
+            log.warning("unsupported cache_type %s, using f16", cache_type)
+            cache_type = "f16"
+        flash_attn = bool(body.get("flash_attn", False))
+        if cache_type != "f16":
+            # reference force-enables flash attention for quantized KV
+            # (llama_engine.cc:639-647)
+            flash_attn = True
+
+        n_ctx = int(body.get("ctx_len", 2048))
+        n_parallel = int(body.get("n_parallel", 1))
+        model_type = str(body.get("model_type", "llm"))
+        is_embedding = bool(body.get("embedding", model_type == "embedding"))
+
+        lm = load_model(str(path))
+        engine = InferenceEngine(
+            lm,
+            n_ctx=n_ctx,
+            n_parallel=n_parallel,
+            n_batch=int(body.get("n_batch", 2048)),
+            cont_batching=bool(body.get("cont_batching", True)),
+            ctx_shift=bool(body.get("ctx_shift", True)),
+            grp_attn_n=int(body.get("grp_attn_n", 1)),
+            grp_attn_w=int(body.get("grp_attn_w", 512)),
+        )
+        prompts = ModelPrompts(
+            user_prompt=str(body.get("user_prompt", "USER: ")),
+            ai_prompt=str(body.get("ai_prompt", "ASSISTANT: ")),
+            system_prompt=str(body.get("system_prompt", "ASSISTANT's RULE: ")),
+            pre_prompt=str(body.get("pre_prompt", "")),
+        )
+        grammar_file = str(body.get("grammar_file", ""))
+        grammar_text = ""
+        if grammar_file:
+            try:
+                with open(grammar_file) as f:
+                    grammar_text = f.read()
+            except OSError as e:
+                return False, f"cannot read grammar_file: {e}"
+
+        opts = {
+            "caching_enabled": bool(body.get("caching_enabled", True)),
+            "model_type": model_type,
+            "embedding": is_embedding,
+            "grammar": grammar_text,
+            "ctx_len": n_ctx,
+            "n_parallel": n_parallel,
+        }
+        entry = ModelEntry(model_id, engine, lm, prompts, opts)
+        with self._lock:
+            self._models[model_id] = entry
+        if model_type == "llm":
+            try:
+                engine.warm_up()
+            except Exception as e:  # warm-up failure is fatal for the load
+                with self._lock:
+                    self._models.pop(model_id, None)
+                engine.shutdown()
+                return False, f"warm-up failed: {e}"
+        log.info("model %s loaded", model_id)
+        return True, f"Model {model_id} loaded successfully"
+
+    def unload_model(self, model_id: str) -> tuple[bool, str]:
+        with self._lock:
+            entry = self._models.pop(model_id, None)
+        if entry is None:
+            return False, f"Model {model_id} has not been loaded"
+        entry.engine.shutdown()
+        return True, f"Model {model_id} unloaded successfully"
+
+    def get(self, model_id: str) -> ModelEntry | None:
+        with self._lock:
+            return self._models.get(model_id)
+
+    def check_loaded(self, model_id: str) -> ModelEntry | None:
+        """Reference: CheckModelLoaded (llama_engine.cc:1225-1245)."""
+        return self.get(model_id)
+
+    def model_status(self, model_id: str) -> dict | None:
+        entry = self.get(model_id)
+        if entry is None:
+            return None
+        return {
+            "model_loaded": True,
+            "model_data": {
+                "frame_count": 0,
+                "ctx_len": entry.opts["ctx_len"],
+                "n_parallel": entry.opts["n_parallel"],
+            },
+        }
+
+    def list_models(self) -> list[dict]:
+        """Reference: GetModels (llama_engine.cc:447-504) incl. the custom
+        ram/vram patch (patches/0001-Add-API-query-buffer-size.patch)."""
+        out = []
+        with self._lock:
+            entries = list(self._models.values())
+        for e in entries:
+            out.append({
+                "id": e.model_id,
+                "engine": "tpu-engine",
+                "start_time": int(e.start_time * 1000),
+                "vram": str(e.vram_bytes),
+                "ram": str(e.ram_bytes),
+                "object": "model",
+                "model_size": str(e.model.model_size_bytes),
+            })
+        return out
+
+    def unload_all(self) -> None:
+        with self._lock:
+            entries = list(self._models.values())
+            self._models.clear()
+        for e in entries:
+            e.engine.shutdown()
+
+    # -- force stop (reference llama_engine.cc:506-508, 1278-1298) ----------
+    def stop_inferencing(self, model_id: str) -> None:
+        self._force_stop.add(model_id)
+
+    def should_stop(self, model_id: str) -> bool:
+        return model_id in self._force_stop
+
+    def clear_stop(self, model_id: str) -> None:
+        self._force_stop.discard(model_id)
