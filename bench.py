@@ -1,0 +1,112 @@
+"""Engine benchmark — run by the driver on real TPU hardware each round.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload (BASELINE.md config 1 scaled to continuous batching): synthetic
+TinyLlama-1.1B-architecture model at Q4_K_M, n_parallel slots decoding
+concurrently; measures aggregate decode throughput per chip.
+
+vs_baseline: fraction of the HBM-bandwidth roofline for this batch size
+(tokens/s = batch / (bytes_read_per_step / BW)); the reference repo pins no
+numbers (SURVEY.md section 6), so the roofline is the honest yardstick.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+PRESET = os.environ.get("BENCH_PRESET", "tinyllama-1.1b")
+QUANT = os.environ.get("BENCH_QUANT", "q4_k_m")
+N_PARALLEL = int(os.environ.get("BENCH_PARALLEL", "8"))
+N_PREDICT = int(os.environ.get("BENCH_TOKENS", "96"))
+CTX = int(os.environ.get("BENCH_CTX", "4096"))
+# v5e HBM bandwidth (public spec: ~819 GB/s per chip)
+HBM_BW = float(os.environ.get("BENCH_HBM_BW_GBPS", "819")) * 1e9
+
+
+def main() -> int:
+    import jax
+
+    if os.environ.get("BENCH_PALLAS", "1") == "1" and jax.devices()[0].platform == "tpu":
+        from tpu_engine.kernels import dequant_matmul
+
+        dequant_matmul.enable()
+        print("[pallas fused dequant-matmul enabled]", file=sys.stderr)
+
+    from tpu_engine.model.loader import load_model
+    from tpu_engine.sampling import SamplingParams
+    from tpu_engine.serve import CompletionParams, InferenceEngine
+    from tpu_engine.tools.synthetic import cached_synthetic
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+    t0 = time.time()
+    path = cached_synthetic(cache_dir, PRESET, QUANT)
+    print(f"[model file ready in {time.time()-t0:.1f}s: {path}]", file=sys.stderr)
+
+    t0 = time.time()
+    lm = load_model(path)
+    print(f"[weights on {jax.devices()[0].platform} in {time.time()-t0:.1f}s]",
+          file=sys.stderr)
+
+    eng = InferenceEngine(
+        lm, n_ctx=CTX, n_parallel=N_PARALLEL, n_batch=512,
+        prefill_buckets=(16, 64, 256),
+    )
+    try:
+        # warm-up compiles prefill buckets + decode executables
+        t0 = time.time()
+        eng.warm_up()
+        print(f"[warm-up {time.time()-t0:.1f}s]", file=sys.stderr)
+
+        prompts = [
+            f"the quick brown fox {i} jumps over the lazy dog and"
+            for i in range(N_PARALLEL)
+        ]
+        sp = SamplingParams(temperature=0.0)
+        t_start = time.time()
+        tids = [
+            eng.request_completion(CompletionParams(
+                prompt=p, n_predict=N_PREDICT, sampling=sp, cache_prompt=False))
+            for p in prompts
+        ]
+        total_decoded = 0
+        ttfts = []
+        for tid in tids:
+            while True:
+                r = eng.next_result(tid, timeout=1200.0)
+                if r.error:
+                    raise RuntimeError(r.error_message)
+                if r.stop:
+                    total_decoded += r.tokens_predicted
+                    ttfts.append(r.timings.get("prompt_ms", 0.0))
+                    break
+        elapsed = time.time() - t_start
+        toks_per_sec = total_decoded / elapsed
+
+        # roofline: per decode step we must read the quantized weights once
+        # (shared across the batch) -> steps/s <= BW / weight_bytes
+        weight_bytes = lm.model_size_bytes
+        roofline = N_PARALLEL * HBM_BW / weight_bytes
+        ttft_p50 = sorted(ttfts)[len(ttfts) // 2] if ttfts else 0.0
+        print(
+            f"[decoded {total_decoded} tok in {elapsed:.2f}s; "
+            f"p50 TTFT {ttft_p50:.0f} ms; roofline {roofline:.0f} tok/s]",
+            file=sys.stderr,
+        )
+        print(json.dumps({
+            "metric": f"aggregate_decode_tok_per_s_per_chip_{PRESET}_{QUANT}_bs{N_PARALLEL}",
+            "value": round(toks_per_sec, 2),
+            "unit": "tokens/s",
+            "vs_baseline": round(toks_per_sec / roofline, 4),
+        }))
+        return 0
+    finally:
+        eng.shutdown()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -39,3 +39,24 @@ def test_device_layout_shapes(ty):
         assert dq.bias.shape == (n, k // lay.group)
     else:
         assert dq.bias is None
+
+
+@pytest.mark.parametrize("ty", list(LAYOUTS))
+def test_group_transpose_roundtrip(ty):
+    from tpu_engine.quant.device_format import (
+        permute_group_transpose_i8, permute_group_transpose_nib4,
+        unpermute_group_transpose_i8, unpermute_group_transpose_nib4,
+    )
+
+    blk, _ = GGML_BLOCK_INFO[ty]
+    n, k = 4, 2 * blk
+    x = RNG.normal(size=(n, k)).astype(np.float32)
+    dq = to_device_format(np.frombuffer(F.quantize(x, ty), np.uint8), ty, (n, k))
+    if dq.layout.kind == "nib4":
+        p = permute_group_transpose_nib4(dq.qs, dq.layout.group)
+        back = unpermute_group_transpose_nib4(p, dq.layout.group)
+    else:
+        p = permute_group_transpose_i8(dq.qs, dq.layout.group)
+        back = unpermute_group_transpose_i8(p, dq.layout.group)
+    np.testing.assert_array_equal(back, dq.qs)
+    assert p.shape == dq.qs.shape

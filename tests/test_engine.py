@@ -218,3 +218,66 @@ def test_long_prompt_truncation(engine):
     _, final = collect(engine, tid)
     assert final.truncated
     assert final.tokens_predicted > 0
+
+
+def test_multi_step_decode_equals_single(tmp_path_factory):
+    """decode_chunk>1 (device-side sampling loop) must produce identical
+    greedy output + identical cache bookkeeping as decode_chunk=1."""
+    import tempfile
+    from tests.models import build_test_gguf
+    from tpu_engine.model.loader import load_model as _load
+
+    d = tempfile.mkdtemp()
+    path = d + "/m.gguf"
+    build_test_gguf(path, "f32", seed=11)
+    outs = {}
+    for chunk in (1, 4):
+        lm = _load(path)
+        eng = InferenceEngine(lm, n_ctx=256, n_parallel=2, n_batch=64,
+                              prefill_buckets=(16,), decode_chunk=chunk)
+        try:
+            tids = [
+                engine_req(eng, "hello world", 11),
+                engine_req(eng, "the quick brown", 9),
+            ]
+            outs[chunk] = [collect(eng, t)[1] for t in tids]
+        finally:
+            eng.shutdown()
+    for a, b in zip(outs[1], outs[4]):
+        assert a.text == b.text
+        assert a.tokens_predicted == b.tokens_predicted
+
+
+def engine_req(eng, prompt, n):
+    return eng.request_completion(greedy(prompt=prompt, n=n))
+
+
+def test_multi_step_with_stop_word(tmp_path_factory):
+    import tempfile
+    from tests.models import build_test_gguf
+    from tpu_engine.model.loader import load_model as _load
+
+    d = tempfile.mkdtemp()
+    path = d + "/m.gguf"
+    build_test_gguf(path, "f32", seed=11)
+    lm = _load(path)
+    eng = InferenceEngine(lm, n_ctx=256, n_parallel=2, n_batch=64,
+                          prefill_buckets=(16,), decode_chunk=4)
+    try:
+        tid = engine_req(eng, "hello world", 12)
+        _, base = collect(eng, tid)
+        if len(base.text) < 4:
+            pytest.skip("too short")
+        stop = base.text[2:4]
+        p = greedy(prompt="hello world", n=12)
+        p.stop = [stop]
+        tid = eng.request_completion(p)
+        _, final = collect(eng, tid)
+        assert final.stop_reason == StopReason.WORD
+        assert final.text == base.text[: base.text.index(stop)]
+        # engine still healthy after mid-chunk stop + trim
+        tid = engine_req(eng, "hello world", 6)
+        _, again = collect(eng, tid)
+        assert again.text == base.text[: len(again.text)]
+    finally:
+        eng.shutdown()

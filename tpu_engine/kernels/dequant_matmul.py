@@ -1,0 +1,234 @@
+"""Pallas TPU kernels: fused dequantize + matmul.
+
+The TPU-native replacement for ggml's quantized mul_mat (SURVEY.md
+section 2b "Quant formats": fused dequant+matmul — quantized blocks stream
+from HBM, expand to bf16 in VMEM, and feed the MXU; full-precision weights
+never touch HBM).
+
+Layout: QTensors are stored GROUP-TRANSPOSED (quant/device_format.py):
+kernel column k' = r*ng + g (g = group, r = position in group, ng = K/G).
+Consecutive columns cycle through the ng groups, so the per-column scale
+for a [TN, m*ng] tile is exactly `pltpu.repeat(scale_tile, m, axis=1)` —
+a tile-repeat, the one broadcast Mosaic does natively. The activation gets
+the matching (cheap, [M, K]-sized) transpose in XLA before the call.
+
+4-bit formats pack two *positions in the same group* per byte
+(low nibble r=2*r2, high nibble r=2*r2+1), so the dot splits into an
+even-plane and odd-plane matmul sharing one scale tile:
+
+    y = x_even @ (lo * s + b).T + x_odd @ (hi * s + b).T
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..model import weights as W
+
+TK_TARGET = 512  # packed columns per k-tile (bytes for nib4, elems for i8)
+TN_TARGET = 256
+
+
+def _pick_tn(n: int) -> int | None:
+    for t in (TN_TARGET, 128):
+        if n % t == 0:
+            return t
+    return None
+
+
+def _pick_m(plane_rows: int, ng: int) -> int | None:
+    """Tiles span m full group-cycles: TK = m*ng. m must divide the number
+    of r-rows in the packed plane (G for i8, G/2 for nib4), and Mosaic needs
+    the tile width to be a multiple of 128 lanes — or the full array width."""
+    best = None
+    for m in range(1, plane_rows + 1):
+        if plane_rows % m:
+            continue
+        tk = m * ng
+        if tk % 128 == 0 and tk <= max(4 * TK_TARGET, ng):
+            best = m
+            if tk >= TK_TARGET:
+                break
+    if best is None:
+        # no aligned tile: fall back to one k-tile spanning the whole plane
+        best = plane_rows
+    return best
+
+
+def _nib4_kernel(xl_ref, xh_ref, qs_ref, sc_ref, b_ref, out_ref, acc_ref, *,
+                 m: int, n_k: int):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # bit ops in i32: Mosaic has no u8 vector shifts (arith.shrui on i8)
+    q32 = qs_ref[:].astype(jnp.int32)  # [TN, m*ng]
+    sc = pltpu.repeat(sc_ref[:], m, axis=1) if m > 1 else sc_ref[:]
+    lo = (q32 & 0x0F).astype(jnp.float32) * sc
+    hi = (q32 >> 4).astype(jnp.float32) * sc
+    if b_ref is not None:
+        b = pltpu.repeat(b_ref[:], m, axis=1) if m > 1 else b_ref[:]
+        lo = lo + b
+        hi = hi + b
+    dims = (((1,), (1,)), ((), ()))
+    acc_ref[:] += jax.lax.dot_general(
+        xl_ref[:], lo.astype(jnp.bfloat16), dims, preferred_element_type=jnp.float32
+    )
+    acc_ref[:] += jax.lax.dot_general(
+        xh_ref[:], hi.astype(jnp.bfloat16), dims, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k == n_k - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+def _i8_kernel(x_ref, qs_ref, sc_ref, b_ref, out_ref, acc_ref, *, m: int, n_k: int):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    sc = pltpu.repeat(sc_ref[:], m, axis=1) if m > 1 else sc_ref[:]
+    w = qs_ref[:].astype(jnp.int32).astype(jnp.float32) * sc
+    if b_ref is not None:
+        b = pltpu.repeat(b_ref[:], m, axis=1) if m > 1 else b_ref[:]
+        w = w + b
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], w.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == n_k - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kind", "group", "n", "k", "interpret")
+)
+def _qmm_2d(x, qs, scale, bias, *, kind: str, group: int, n: int, k: int,
+            interpret: bool = False):
+    """x [M, K] (natural order) -> [M, N] f32, or None if untileable."""
+    mrows = x.shape[0]
+    ng = k // group
+    tn = _pick_tn(n)
+    if tn is None:
+        return None
+    x16 = x.astype(jnp.bfloat16)
+    xg = x16.reshape(mrows, ng, group).swapaxes(1, 2)  # [M, G, ng]
+
+    def sc_spec(tkb):
+        # scale [N, ng]: one full group cycle per k-tile position
+        return pl.BlockSpec((tn, ng), lambda i, kk: (i, 0), memory_space=pltpu.VMEM)
+
+    if kind == "nib4":
+        plane_rows = group // 2
+        m = _pick_m(plane_rows, ng)
+        if m is None:
+            return None
+        tkb = m * ng
+        n_k = (k // 2) // tkb
+        xl = xg[:, 0::2, :].reshape(mrows, k // 2)
+        xh = xg[:, 1::2, :].reshape(mrows, k // 2)
+        grid = (n // tn, n_k)
+        in_specs = [
+            pl.BlockSpec((mrows, tkb), lambda i, kk: (0, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mrows, tkb), lambda i, kk: (0, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, tkb), lambda i, kk: (i, kk), memory_space=pltpu.VMEM),
+            sc_spec(tkb),
+        ]
+        args = [xl, xh, qs, scale]
+        if bias is not None:
+            in_specs.append(sc_spec(tkb))
+            args.append(bias)
+            kernel = functools.partial(_nib4_kernel, m=m, n_k=n_k)
+        else:
+            kernel = functools.partial(
+                lambda xl, xh, qs, sc, out, acc, **kw:
+                _nib4_kernel(xl, xh, qs, sc, None, out, acc, **kw),
+                m=m, n_k=n_k)
+    else:  # i8
+        m = _pick_m(group, ng)
+        if m is None:
+            return None
+        tk = m * ng
+        n_k = k // tk
+        xp = xg.reshape(mrows, k)
+        grid = (n // tn, n_k)
+        in_specs = [
+            pl.BlockSpec((mrows, tk), lambda i, kk: (0, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, tk), lambda i, kk: (i, kk), memory_space=pltpu.VMEM),
+            sc_spec(tk),
+        ]
+        args = [xp, qs, scale]
+        if bias is not None:
+            in_specs.append(sc_spec(tk))
+            args.append(bias)
+            kernel = functools.partial(_i8_kernel, m=m, n_k=n_k)
+        else:
+            kernel = functools.partial(
+                lambda x, qs, sc, out, acc, **kw:
+                _i8_kernel(x, qs, sc, None, out, acc, **kw),
+                m=m, n_k=n_k)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((mrows, tn), lambda i, kk: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mrows, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((mrows, tn), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+
+
+_INTERPRET = False
+
+
+def pallas_qmatmul(x: jax.Array, qt: W.QTensor) -> jax.Array:
+    """Drop-in for weights.qmatmul on quantized tensors."""
+    n, k = qt.shape
+    lead = x.shape[:-1]
+    mrows = 1
+    for d in lead:
+        mrows *= d
+    x2 = x.reshape(mrows, k)
+    # Mosaic wants the sublane dim divisible by 8: pad small batches
+    pad = (-mrows) % 8
+    if pad:
+        x2 = jnp.concatenate([x2, jnp.zeros((pad, k), x2.dtype)], axis=0)
+    out = None
+    if qt.perm:
+        out = _qmm_2d(
+            x2, qt.qs, qt.scale, qt.bias,
+            kind=qt.kind, group=qt.group, n=n, k=k, interpret=_INTERPRET,
+        )
+    if out is None:
+        w = W.dequant(qt, x.dtype)
+        return (x.reshape(mrows, k) @ w.T).reshape(*lead, n)
+    if pad:
+        out = out[:mrows]
+    return out.reshape(*lead, n).astype(x.dtype)
+
+
+def enable(interpret: bool = False) -> None:
+    """Install the Pallas fused kernels as the qmatmul implementation.
+    Multi-device (GSPMD) tensors fall back to the XLA path — pallas+TP
+    integration via shard_map is a later milestone."""
+    global _INTERPRET
+    _INTERPRET = interpret
+    W.set_pallas_qmatmul(pallas_qmatmul)
+
+
+def disable() -> None:
+    W.set_pallas_qmatmul(None)

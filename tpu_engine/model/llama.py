@@ -122,12 +122,7 @@ def set_attention_impl(fn) -> None:
     _ATTN_IMPL = fn
 
 
-@partial(
-    jax.jit,
-    static_argnames=("cfg", "collect_hidden"),
-    donate_argnames=("cache",),
-)
-def forward_step(
+def _forward(
     weights: dict,
     cache: KVCache,
     tokens: jax.Array,  # [B, Tc] int32
@@ -234,3 +229,54 @@ def forward_step(
     new_lengths = cache.lengths.at[slot_ids].set(lengths.astype(jnp.int32))
     new_cache = KVCache(k_cache, v_cache, new_lengths, cache.k_scale, cache.v_scale)
     return logits, new_cache, pooled
+
+
+forward_step = partial(
+    jax.jit,
+    static_argnames=("cfg", "collect_hidden"),
+    donate_argnames=("cache",),
+)(_forward)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "n_inner"),
+    donate_argnames=("cache", "samp_state"),
+)
+def decode_loop(
+    weights: dict,
+    cache: KVCache,
+    tokens: jax.Array,  # [S] int32: pending token per slot
+    active: jax.Array,  # [S] bool
+    cfg: ModelConfig,
+    samp_params,  # sampling.device.DeviceSamplerParams
+    samp_state,  # sampling.device.DeviceSamplerState
+    n_inner: int,
+    ga_n: jax.Array | int = 1,
+    ga_w: jax.Array | int = 0,
+):
+    """n_inner batched decode steps with ON-DEVICE sampling.
+
+    One host round-trip yields [S, n_inner] tokens instead of one — the
+    fixed-shape answer to per-token host sampling latency (SURVEY.md
+    section 7). The host applies stop/budget/grammar semantics afterwards
+    and trims any overrun cells with kvcache.trim.
+    """
+    from ..sampling.device import sample_step
+
+    S = tokens.shape[0]
+    slot_ids = jnp.arange(S, dtype=jnp.int32)
+
+    def body(carry, _):
+        cache, tok, st = carry
+        logits, cache, _ = _forward(
+            weights, cache, tok[:, None], slot_ids, active, cfg,
+            ga_n=ga_n, ga_w=ga_w,
+        )
+        nxt, st = sample_step(logits, samp_params, st)
+        return (cache, nxt, st), nxt
+
+    (cache, _, samp_state), toks = jax.lax.scan(
+        body, (cache, tokens, samp_state), None, length=n_inner
+    )
+    return toks.T, cache, samp_state  # [S, n_inner]

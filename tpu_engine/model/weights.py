@@ -25,7 +25,12 @@ from .config import ModelConfig
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class QTensor:
-    """A (possibly) quantized 2D weight [N, K] (y = x @ W.T convention)."""
+    """A (possibly) quantized 2D weight [N, K] (y = x @ W.T convention).
+
+    perm=True means qs is stored in the group-transposed kernel layout
+    (quant/device_format.py permute_group_transpose_*) consumed directly by
+    the Pallas fused dequant+matmul; dequant()/embed_rows() undo it.
+    """
 
     qs: jax.Array  # dense weights, packed nibbles, or int8 values
     scale: jax.Array | None
@@ -33,15 +38,19 @@ class QTensor:
     kind: str  # "dense" | "nib4" | "i8"
     group: int
     shape: tuple[int, int]
+    perm: bool = False
 
     def tree_flatten(self):
-        return (self.qs, self.scale, self.bias), (self.kind, self.group, self.shape)
+        return (self.qs, self.scale, self.bias), (self.kind, self.group, self.shape,
+                                                  self.perm)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         qs, scale, bias = children
-        kind, group, shape = aux
-        return cls(qs=qs, scale=scale, bias=bias, kind=kind, group=group, shape=shape)
+        kind, group, shape = aux[:3]
+        perm = aux[3] if len(aux) > 3 else False
+        return cls(qs=qs, scale=scale, bias=bias, kind=kind, group=group,
+                   shape=shape, perm=perm)
 
     @property
     def bits_per_weight(self) -> float:
@@ -55,19 +64,29 @@ class QTensor:
 
 
 def qtensor_from_gguf(g: GGUFFile, name: str, dtype=jnp.float32) -> QTensor:
+    from ..quant.device_format import (
+        permute_group_transpose_i8,
+        permute_group_transpose_nib4,
+    )
+
     ti = g.tensors[name]
     shape = ti.shape
     k = shape[-1]
     n = ti.n_elems // k
     if ti.ggml_type in LAYOUTS:
         dq = to_device_format(g.tensor_bytes(name), ti.ggml_type, (n, k))
+        if dq.layout.kind == "nib4":
+            qs = permute_group_transpose_nib4(dq.qs, dq.layout.group)
+        else:
+            qs = permute_group_transpose_i8(dq.qs, dq.layout.group)
         return QTensor(
-            qs=jnp.asarray(dq.qs),
+            qs=jnp.asarray(qs),
             scale=jnp.asarray(dq.scale),
             bias=jnp.asarray(dq.bias) if dq.bias is not None else None,
             kind=dq.layout.kind,
             group=dq.layout.group,
             shape=(n, k),
+            perm=True,
         )
     w = np.asarray(g.dequantize(name, np.float32)).reshape(n, k)
     return QTensor(
@@ -75,17 +94,37 @@ def qtensor_from_gguf(g: GGUFFile, name: str, dtype=jnp.float32) -> QTensor:
     )
 
 
+def _unpack_natural(qs: jax.Array, kind: str, group: int, k: int,
+                    perm: bool) -> jax.Array:
+    """Quantized values -> float natural element order. qs: [..., K or K/2]."""
+    lead = qs.shape[:-1]
+    if kind == "nib4":
+        if perm:
+            ng = k // group
+            lo = (qs & 0x0F).reshape(*lead, group // 2, ng)
+            hi = (qs >> 4).reshape(*lead, group // 2, ng)
+            qg = jnp.stack([lo, hi], axis=-2)  # [..., G/2, 2, ng]
+            qg = qg.reshape(*lead, group, ng)
+            q = jnp.swapaxes(qg, -1, -2).reshape(*lead, k)
+        else:
+            lo = qs & 0x0F
+            hi = qs >> 4
+            q = jnp.stack([lo, hi], axis=-1).reshape(*lead, k)
+    else:
+        if perm:
+            ng = k // group
+            q = jnp.swapaxes(qs.reshape(*lead, group, ng), -1, -2).reshape(*lead, k)
+        else:
+            q = qs
+    return q.astype(jnp.float32)
+
+
 def dequant(qt: QTensor, dtype=jnp.float32) -> jax.Array:
     """Full dequantization (reference path / embeddings / tiny tensors)."""
     if qt.kind == "dense":
         return qt.qs.astype(dtype)
     n, k = qt.shape
-    if qt.kind == "nib4":
-        lo = qt.qs & 0x0F
-        hi = qt.qs >> 4
-        q = jnp.stack([lo, hi], axis=-1).reshape(n, k).astype(jnp.float32)
-    else:
-        q = qt.qs.astype(jnp.float32)
+    q = _unpack_natural(qt.qs, qt.kind, qt.group, k, qt.perm)
     w = q * jnp.repeat(qt.scale, qt.group, axis=-1)
     if qt.bias is not None:
         w = w + jnp.repeat(qt.bias, qt.group, axis=-1)
@@ -97,13 +136,7 @@ def _rows(qt: QTensor, ids: jax.Array, dtype=jnp.float32) -> jax.Array:
     if qt.kind == "dense":
         return qt.qs[ids].astype(dtype)
     n, k = qt.shape
-    qs = qt.qs[ids]
-    if qt.kind == "nib4":
-        lo = qs & 0x0F
-        hi = qs >> 4
-        q = jnp.stack([lo, hi], axis=-1).reshape(*ids.shape, k).astype(jnp.float32)
-    else:
-        q = qs.astype(jnp.float32)
+    q = _unpack_natural(qt.qs[ids], qt.kind, qt.group, k, qt.perm)
     w = q * jnp.repeat(qt.scale[ids], qt.group, axis=-1)
     if qt.bias is not None:
         w = w + jnp.repeat(qt.bias[ids], qt.group, axis=-1)

@@ -207,6 +207,58 @@ def _extract(raw: np.ndarray, ty: GGMLType, n: int, k: int):
     raise NotImplementedError(f"device format for {ty.name}")
 
 
+def permute_group_transpose_i8(qs: np.ndarray, group: int) -> np.ndarray:
+    """Natural-order int8 values [N, K] -> kernel layout [N, K] with
+    k' = r*ng + g (g = group index, r = position in group, ng = K/group).
+
+    Consecutive kernel columns then cycle through groups with period ng, so
+    per-group scales broadcast with a tile-repeat (see
+    kernels/dequant_matmul.py).
+    """
+    n, k = qs.shape
+    ng = k // group
+    return np.ascontiguousarray(
+        qs.reshape(n, ng, group).transpose(0, 2, 1).reshape(n, k)
+    )
+
+
+def unpermute_group_transpose_i8(qs: np.ndarray, group: int) -> np.ndarray:
+    n, k = qs.shape
+    ng = k // group
+    return qs.reshape(n, group, ng).transpose(0, 2, 1).reshape(n, k)
+
+
+def permute_group_transpose_nib4(packed: np.ndarray, group: int) -> np.ndarray:
+    """Natural packed nibbles [N, K/2] (byte j = elements 2j, 2j+1) ->
+    kernel layout [N, K/2] where byte b = (elements (g, 2*r2), (g, 2*r2+1))
+    at b = r2*ng + g: the low-nibble plane covers even positions-in-group,
+    the high-nibble plane odd ones, and both planes share the same group
+    cycle with period ng."""
+    n, kb = packed.shape
+    k = kb * 2
+    ng = k // group
+    q = np.empty((n, k), np.uint8)
+    q[:, 0::2] = packed & 0x0F
+    q[:, 1::2] = packed >> 4
+    qg = q.reshape(n, ng, group).transpose(0, 2, 1)  # [N, G, ng]
+    lo = qg[:, 0::2, :].reshape(n, kb)
+    hi = qg[:, 1::2, :].reshape(n, kb)
+    return np.ascontiguousarray(lo | (hi << 4))
+
+
+def unpermute_group_transpose_nib4(packed: np.ndarray, group: int) -> np.ndarray:
+    n, kb = packed.shape
+    k = kb * 2
+    ng = k // group
+    lo = (packed & 0x0F).reshape(n, group // 2, ng)
+    hi = (packed >> 4).reshape(n, group // 2, ng)
+    qg = np.empty((n, group, ng), np.uint8)
+    qg[:, 0::2, :] = lo
+    qg[:, 1::2, :] = hi
+    q = qg.transpose(0, 2, 1).reshape(n, k)  # natural element order
+    return np.ascontiguousarray(q[:, 0::2] | (q[:, 1::2] << 4))
+
+
 def to_device_format(raw: np.ndarray, ty: GGMLType, shape: tuple[int, ...]) -> DeviceQuant:
     """Convert raw GGUF block bytes to the unified device layout.
 

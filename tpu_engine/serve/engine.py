@@ -26,18 +26,27 @@ from __future__ import annotations
 
 import itertools
 import logging
+import os
 import queue
 import threading
 import time
 import traceback
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..kvcache.cache import clear_all, new_cache, shift_compact, trim
-from ..model.llama import forward_step
+from ..model.llama import decode_loop, forward_step
 from ..model.loader import LoadedModel
 from ..sampling import Sampler
+from ..sampling.device import (
+    DeviceSamplerState,
+    device_compatible,
+    new_state,
+    params_from_host,
+    ring_from_tokens,
+)
 from ..tokenizer import StreamDetokenizer
 from ..utils.text import find_full_stop, partial_stop_len
 from .slot import Slot, SlotState
@@ -61,6 +70,7 @@ class InferenceEngine:
         grp_attn_w: int = 512,
         kv_cache_dtype=jnp.float32,
         prefill_buckets=PREFILL_BUCKETS,
+        decode_chunk: int | None = None,
     ):
         self.model = model
         self.cfg = model.cfg
@@ -80,6 +90,20 @@ class InferenceEngine:
             self.cfg.n_kv_head, self.cfg.head_dim, dtype=kv_cache_dtype,
         )
         self.slots = [Slot(i, self.slot_ctx) for i in range(n_parallel)]
+
+        # multi-token device decode: tokens sampled on-device per host
+        # round-trip (sampling/device.py); 1 disables
+        if decode_chunk is None:
+            decode_chunk = int(os.environ.get("TPU_ENGINE_DECODE_CHUNK", "16"))
+        self.decode_chunk = max(decode_chunk, 1)
+        # pulling any output of an execution can drag the whole result
+        # bundle host-side (remote runtimes); route pulls through a tiny
+        # separate execution so only the tokens travel
+        self._extract = jax.jit(lambda t: t + 0)
+        self._dev_sig = None
+        self._dev_params = None
+        self._dev_state: DeviceSamplerState | None = None
+        self._last_toks_dev = None
 
         self._task_counter = itertools.count(1)
         self._tasks: queue.Queue[Task] = queue.Queue()
@@ -411,6 +435,16 @@ class InferenceEngine:
         gen = [s for s in self.slots if s.state == SlotState.GENERATING]
         if not gen:
             return
+        n_inner = self.decode_chunk
+        if (
+            n_inner > 1
+            and all(device_compatible(s.params.sampling) for s in gen)
+            and all(s.sampler.grammar_matcher is None for s in gen)
+            and all(s.n_past + n_inner + 1 <= self.slot_ctx for s in gen)
+        ):
+            self._decode_multi(gen, n_inner)
+            return
+        self._dev_sig = None  # single-step path invalidates device state
         S = self.n_parallel
         tokens = np.zeros((S, 1), np.int32)
         active = np.zeros((S,), bool)
@@ -431,6 +465,58 @@ class InferenceEngine:
             s.cache_tokens.append(s.generated_tokens[-1])
             token = s.sampler.sample(logits_np[s.id])
             self._process_token(s, token)
+            s.timings.predicted_ms = (time.time() - s.t_start_gen) * 1000.0
+
+    def _decode_multi(self, gen: list[Slot], n_inner: int) -> None:
+        """n_inner decode steps with on-device sampling: ONE host round-trip
+        per chunk. Stop/budget/streaming semantics stay host-side; overrun
+        cells of slots that stop mid-chunk are trimmed back."""
+        S = self.n_parallel
+        sig = tuple(sorted((s.id, s.task_id) for s in gen))
+        active_np = np.zeros((S,), bool)
+        for s in gen:
+            active_np[s.id] = True
+        if sig != self._dev_sig:
+            by_slot = [None] * S
+            prevs: list[list[int]] = [[] for _ in range(S)]
+            pending = np.zeros((S,), np.int32)
+            for s in gen:
+                by_slot[s.id] = s.params.sampling
+                prevs[s.id] = s.sampler.prev
+                pending[s.id] = s.generated_tokens[-1]
+            self._dev_params = params_from_host(by_slot)
+            keys = self._dev_state.keys if self._dev_state is not None else \
+                new_state(S, seed=len(sig)).keys
+            self._dev_state = DeviceSamplerState(
+                ring=ring_from_tokens(prevs, S), keys=keys)
+            tokens_dev = jnp.asarray(pending)
+            self._dev_sig = sig
+        else:
+            tokens_dev = self._last_toks_dev[:, -1]
+
+        toks_dev, self.cache, self._dev_state = decode_loop(
+            self.model.weights, self.cache, tokens_dev,
+            jnp.asarray(active_np), self.cfg,
+            self._dev_params, self._dev_state, n_inner,
+            ga_n=self.ga_n, ga_w=self.ga_w,
+        )
+        self._last_toks_dev = toks_dev
+        toks = np.asarray(self._extract(toks_dev))  # the single D2H pull
+
+        for s in gen:
+            pending = s.generated_tokens[-1]
+            for j in range(n_inner):
+                # inner step j decoded `pending` into the cache
+                s.n_past += 1
+                s.cache_tokens.append(pending)
+                tok = int(toks[s.id, j])
+                self._process_token(s, tok)
+                if s.state != SlotState.GENERATING:
+                    # overrun cells beyond n_past are stale; trim them
+                    self.cache = trim(self.cache, jnp.int32(s.id),
+                                      jnp.int32(s.n_past))
+                    break
+                pending = tok
             s.timings.predicted_ms = (time.time() - s.t_start_gen) * 1000.0
 
     # -- token post-processing ----------------------------------------------

@@ -1,0 +1,168 @@
+"""Synthetic GGUF model builder (random weights, real architectures).
+
+Used by bench.py, __graft_entry__.py and the test suite: the environment has
+no model files and no network, so engine performance/correctness is measured
+on architecture-faithful random models (the engine's speed does not depend
+on weight values).
+
+Presets follow the reference's bench/e2e model set (SURVEY.md section 6:
+TinyLlama-1.1B smoke model, Llama-2-7B north-star).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..gguf.constants import GGMLType, QUANT_LEVEL_ALIASES
+from ..gguf.writer import GGUFWriter
+from ..tokenizer import TokenType
+
+PRESETS = {
+    # name: (n_layer, n_embd, n_head, n_kv_head, n_ff, vocab)
+    "tiny": (2, 256, 4, 2, 256, 384),  # unit tests
+    "mini": (4, 512, 8, 4, 1024, 2048),  # fast integration
+    "tinyllama-1.1b": (22, 2048, 32, 4, 5632, 32000),  # bench config 1
+    "llama2-7b": (32, 4096, 32, 32, 11008, 32000),  # north-star (BASELINE.md)
+    "llama3-8b": (32, 4096, 32, 8, 14336, 128256),
+}
+
+_WORDS = [
+    "hello", "world", "the", "quick", "brown", "fox", "jumps", "over", "lazy",
+    "dog", "a", "is", "of", "to", "and", "in", "it", "you", "that", "was",
+    "for", "on", "are", "with", "as", "his", "they", "at", "be", "this",
+    "have", "from", "or", "one", "had", "by", "word", "but", "not", "what",
+]
+
+
+def tokenizer_metadata(vocab_size: int) -> dict:
+    """SPM-style tokenizer metadata with byte fallback + word pieces."""
+    tokens = ["<unk>", "<s>", "</s>"]
+    types = [int(TokenType.UNKNOWN), int(TokenType.CONTROL), int(TokenType.CONTROL)]
+    scores = [0.0, 0.0, 0.0]
+    for b in range(256):
+        tokens.append(f"<0x{b:02X}>")
+        types.append(int(TokenType.BYTE))
+        scores.append(0.0)
+    for s in ("<|im_start|>", "<|im_end|>"):
+        tokens.append(s)
+        types.append(int(TokenType.CONTROL))
+        scores.append(0.0)
+    pieces = ["▁"]
+    for w in _WORDS:
+        pieces.append("▁" + w)
+        pieces.append(w)
+    for c in "abcdefghijklmnopqrstuvwxyz0123456789.,!?'\"":
+        pieces.append(c)
+    seen = set(tokens)
+    for i, p in enumerate(pieces):
+        if len(tokens) >= vocab_size:
+            break
+        if p in seen:
+            continue
+        seen.add(p)
+        tokens.append(p)
+        types.append(int(TokenType.NORMAL))
+        scores.append(-float(i))
+    i = 0
+    while len(tokens) < vocab_size:
+        tokens.append(f"<extra_{i}>")
+        types.append(int(TokenType.UNUSED))
+        scores.append(-1e9)
+        i += 1
+    return {
+        "tokenizer.ggml.model": "llama",
+        "tokenizer.ggml.tokens": tokens,
+        "tokenizer.ggml.scores": scores,
+        "tokenizer.ggml.token_type": types,
+        "tokenizer.ggml.bos_token_id": 1,
+        "tokenizer.ggml.eos_token_id": 2,
+        "tokenizer.ggml.unknown_token_id": 0,
+        "tokenizer.ggml.add_bos_token": True,
+        "tokenizer.ggml.add_space_prefix": True,
+    }
+
+
+def build_synthetic_gguf(
+    path: str,
+    preset: str = "tiny",
+    quant: str | GGMLType = "q4_k_m",
+    seed: int = 0,
+    ctx_len: int = 2048,
+) -> str:
+    """Write a random-weight llama-architecture GGUF at the given quant level."""
+    from ..gguf.constants import GGUFValueType
+
+    n_layer, n_embd, n_head, n_kv, n_ff, vocab = PRESETS[preset]
+    head_dim = n_embd // n_head
+    if isinstance(quant, str):
+        qty = QUANT_LEVEL_ALIASES[quant.lower()]
+    else:
+        qty = quant
+    rng = np.random.default_rng(seed)
+
+    w = GGUFWriter(path)
+    w.add("general.architecture", "llama")
+    w.add("general.name", f"synthetic-{preset}")
+    w.add("llama.block_count", n_layer)
+    w.add("llama.context_length", ctx_len)
+    w.add("llama.embedding_length", n_embd)
+    w.add("llama.feed_forward_length", n_ff)
+    w.add("llama.attention.head_count", n_head)
+    w.add("llama.attention.head_count_kv", n_kv)
+    w.add("llama.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add("llama.rope.freq_base", 10000.0)
+    w.add("llama.rope.dimension_count", head_dim)
+    w.add("llama.vocab_size", vocab)
+    md = tokenizer_metadata(vocab)
+    for key, val in md.items():
+        if key == "tokenizer.ggml.tokens":
+            w.add_array(key, val, GGUFValueType.STRING)
+        elif key == "tokenizer.ggml.scores":
+            w.add_array(key, val, GGUFValueType.FLOAT32)
+        elif key == "tokenizer.ggml.token_type":
+            w.add_array(key, val, GGUFValueType.INT32)
+        else:
+            w.add(key, val)
+
+    def rand(shape, scale):
+        # float16-quantized normal keeps file creation fast and is plenty
+        # for perf benchmarking (values irrelevant to speed)
+        return (rng.standard_normal(shape, dtype=np.float32) * scale)
+
+    def quantizable(shape) -> bool:
+        return shape[-1] % 256 == 0 or (qty in (GGMLType.Q4_0, GGMLType.Q8_0)
+                                        and shape[-1] % 32 == 0)
+
+    def put(name, shape, scale=0.02, force_f32=False):
+        arr = rand(shape, scale)
+        ty = qty if (not force_f32 and len(shape) == 2 and quantizable(shape)) else GGMLType.F32
+        w.add_tensor(name, arr, ty)
+
+    put("token_embd.weight", (vocab, n_embd))
+    put("output.weight", (vocab, n_embd))
+    put("output_norm.weight", (n_embd,), 1.0, force_f32=True)
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        put(p + "attn_norm.weight", (n_embd,), 1.0, force_f32=True)
+        put(p + "attn_q.weight", (n_head * head_dim, n_embd))
+        put(p + "attn_k.weight", (n_kv * head_dim, n_embd))
+        put(p + "attn_v.weight", (n_kv * head_dim, n_embd))
+        put(p + "attn_output.weight", (n_embd, n_head * head_dim))
+        put(p + "ffn_norm.weight", (n_embd,), 1.0, force_f32=True)
+        put(p + "ffn_gate.weight", (n_ff, n_embd))
+        put(p + "ffn_up.weight", (n_ff, n_embd))
+        put(p + "ffn_down.weight", (n_embd, n_ff))
+    w.write()
+    return path
+
+
+def cached_synthetic(cache_dir: str, preset: str, quant: str, seed: int = 0) -> str:
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"{preset}-{quant}-s{seed}.gguf")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        build_synthetic_gguf(tmp, preset, quant, seed)
+        os.replace(tmp, path)
+    return path
