@@ -29,6 +29,11 @@ HBM_BW = float(os.environ.get("BENCH_HBM_BW_GBPS", "819")) * 1e9
 
 
 def main() -> int:
+    import logging
+
+    if os.environ.get("TPU_ENGINE_TRACE") == "1":
+        logging.basicConfig(level=logging.INFO, stream=sys.stderr,
+                            format="%(relativeCreated)8.0fms %(message)s")
     import jax
 
     if os.environ.get("BENCH_PALLAS", "1") == "1" and jax.devices()[0].platform == "tpu":

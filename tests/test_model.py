@@ -250,3 +250,51 @@ def test_padded_prefill_equals_exact(tiny):
         jnp.asarray([0], jnp.int32), jnp.asarray([True]), lm.cfg,
     )
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-4, atol=1e-5)
+
+
+def test_self_extend_position_remap(tiny):
+    """ga_n/ga_w group-attention (SURVEY 2b "Self-extend"): remap is
+    identity when ga_n==1 or all positions < ga_w; changes rope positions
+    beyond the window otherwise."""
+    from tpu_engine.model.llama import self_extend_pos
+
+    pos = jnp.arange(20, dtype=jnp.int32)
+    # disabled
+    np.testing.assert_array_equal(
+        np.asarray(self_extend_pos(pos, jnp.int32(1), jnp.int32(8))), np.arange(20))
+    # window covers everything
+    np.testing.assert_array_equal(
+        np.asarray(self_extend_pos(pos, jnp.int32(4), jnp.int32(64))), np.arange(20))
+    # grouping beyond w=8 with n=2: p >= 8 -> 8 + (p-8)//2
+    got = np.asarray(self_extend_pos(pos, jnp.int32(2), jnp.int32(8)))
+    expect = np.where(np.arange(20) < 8, np.arange(20), 8 + (np.arange(20) - 8) // 2)
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_self_extend_forward(tiny):
+    """Forward with ga_n>1: identical below the window, different beyond."""
+    hf, lm = tiny
+    short = PROMPT[:6]
+    base_s, _, _ = forward_step(
+        lm.weights, fresh_cache(lm), jnp.asarray([short], jnp.int32),
+        jnp.asarray([0], jnp.int32), jnp.asarray([True]), lm.cfg,
+    )
+    ga_s, _, _ = forward_step(
+        lm.weights, fresh_cache(lm), jnp.asarray([short], jnp.int32),
+        jnp.asarray([0], jnp.int32), jnp.asarray([True]), lm.cfg,
+        ga_n=jnp.int32(4), ga_w=jnp.int32(8),
+    )
+    np.testing.assert_allclose(np.asarray(ga_s), np.asarray(base_s), rtol=1e-5, atol=1e-6)
+
+    long = PROMPT + [290, 291, 292, 293]
+    base_l, _, _ = forward_step(
+        lm.weights, fresh_cache(lm), jnp.asarray([long], jnp.int32),
+        jnp.asarray([0], jnp.int32), jnp.asarray([True]), lm.cfg,
+    )
+    ga_l, _, _ = forward_step(
+        lm.weights, fresh_cache(lm), jnp.asarray([long], jnp.int32),
+        jnp.asarray([0], jnp.int32), jnp.asarray([True]), lm.cfg,
+        ga_n=jnp.int32(4), ga_w=jnp.int32(8),
+    )
+    assert np.abs(np.asarray(ga_l) - np.asarray(base_l)).max() > 1e-4
+    assert np.isfinite(np.asarray(ga_l)).all()

@@ -74,17 +74,26 @@ def qtensor_from_gguf(g: GGUFFile, name: str, dtype=jnp.float32) -> QTensor:
     k = shape[-1]
     n = ti.n_elems // k
     if ti.ggml_type in LAYOUTS:
-        dq = to_device_format(g.tensor_bytes(name), ti.ggml_type, (n, k))
-        if dq.layout.kind == "nib4":
-            qs = permute_group_transpose_nib4(dq.qs, dq.layout.group)
+        lay = LAYOUTS[ti.ggml_type]
+        native = None
+        from ..native import lib as native_lib
+
+        native = native_lib.extract_device(g.tensor_bytes(name), ti.ggml_type, n, k)
+        if native is not None:
+            qs, scale, bias = native
         else:
-            qs = permute_group_transpose_i8(dq.qs, dq.layout.group)
+            dq = to_device_format(g.tensor_bytes(name), ti.ggml_type, (n, k))
+            scale, bias = dq.scale, dq.bias
+            if lay.kind == "nib4":
+                qs = permute_group_transpose_nib4(dq.qs, lay.group)
+            else:
+                qs = permute_group_transpose_i8(dq.qs, lay.group)
         return QTensor(
             qs=jnp.asarray(qs),
-            scale=jnp.asarray(dq.scale),
-            bias=jnp.asarray(dq.bias) if dq.bias is not None else None,
-            kind=dq.layout.kind,
-            group=dq.layout.group,
+            scale=jnp.asarray(scale),
+            bias=jnp.asarray(bias) if bias is not None else None,
+            kind=lay.kind,
+            group=lay.group,
             shape=(n, k),
             perm=True,
         )

@@ -105,6 +105,7 @@ class InferenceEngine:
         self._dev_state: DeviceSamplerState | None = None
         self._last_toks_dev = None
 
+        self._trace = os.environ.get("TPU_ENGINE_TRACE", "") == "1"
         self._task_counter = itertools.count(1)
         self._tasks: queue.Queue[Task] = queue.Queue()
         self._deferred: list[Task] = []
@@ -397,6 +398,7 @@ class InferenceEngine:
         is_last = s.n_prompt_done + chunk == len(s.prompt_tokens)
         want_hidden = bool(s.params and s.params.embedding)
 
+        t0 = time.time()
         logits, self.cache, pooled = forward_step(
             self.model.weights, self.cache,
             jnp.asarray([padded], jnp.int32),
@@ -407,12 +409,15 @@ class InferenceEngine:
             n_valid=jnp.asarray([chunk], jnp.int32),
             collect_hidden=want_hidden,
         )
+        if self._trace:
+            log.info("prefill slot=%d bucket=%d chunk=%d last=%s dispatch=%.0fms",
+                     s.id, bucket, chunk, is_last, (time.time() - t0) * 1000)
         s.n_prompt_done += chunk
         s.n_past += chunk
         s.cache_tokens.extend(toks)
 
         if want_hidden:
-            part = np.asarray(pooled[0], np.float64) * chunk
+            part = np.asarray(self._extract(pooled), np.float64)[0] * chunk
             if s.embed_sum is None:
                 s.embed_sum = part
             else:
@@ -428,7 +433,12 @@ class InferenceEngine:
             s.release()
             return
         s.state = SlotState.GENERATING
-        token = s.sampler.sample(np.asarray(logits[0]))
+        t0 = time.time()
+        row = np.asarray(self._extract(logits))[0]
+        if self._trace:
+            log.info("prefill slot=%d first-logits pull=%.0fms", s.id,
+                     (time.time() - t0) * 1000)
+        token = s.sampler.sample(row)
         self._process_token(s, token)
 
     def _decode_step(self) -> None:
@@ -457,7 +467,7 @@ class InferenceEngine:
             jnp.asarray(active), self.cfg,
             ga_n=self.ga_n, ga_w=self.ga_w,
         )
-        logits_np = np.asarray(logits)
+        logits_np = np.asarray(self._extract(logits))
         for s in gen:
             if s.state != SlotState.GENERATING:
                 continue  # released earlier this iteration
@@ -494,6 +504,7 @@ class InferenceEngine:
         else:
             tokens_dev = self._last_toks_dev[:, -1]
 
+        t0 = time.time()
         toks_dev, self.cache, self._dev_state = decode_loop(
             self.model.weights, self.cache, tokens_dev,
             jnp.asarray(active_np), self.cfg,
@@ -501,7 +512,13 @@ class InferenceEngine:
             ga_n=self.ga_n, ga_w=self.ga_w,
         )
         self._last_toks_dev = toks_dev
+        t1 = time.time()
         toks = np.asarray(self._extract(toks_dev))  # the single D2H pull
+        if self._trace:
+            log.info("decode_multi n=%d dispatch=%.0fms pull=%.0fms sig_new=%s",
+                     n_inner, (t1 - t0) * 1000, (time.time() - t1) * 1000,
+                     sig != getattr(self, "_trace_prev_sig", None))
+            self._trace_prev_sig = sig
 
         for s in gen:
             pending = s.generated_tokens[-1]
