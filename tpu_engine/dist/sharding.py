@@ -140,6 +140,7 @@ def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
         lengths=put(cache.lengths, P(None)),
         k_scale=put(cache.k_scale, P(None, slot_ax, None, head_ax)),
         v_scale=put(cache.v_scale, P(None, slot_ax, None, head_ax)),
+        kind=cache.kind,
     )
 
 

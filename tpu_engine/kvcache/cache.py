@@ -15,8 +15,17 @@ RoPE is applied inside attention using the cell index, so that:
     upstream llama.cpp's K-shift graph)
   - self-extend          == position remap at attention time (no cache op)
 
-Quantized KV storage (q8_0-style int8 + per-(token,head) scale) mirrors the
-reference's cache_type_k/v (llama_engine.cc:628-637).
+Quantized KV storage mirrors the reference's cache_type_k/v ∈ {f16, q8_0,
+q4_0} (llama_engine.cc:628-637, validated at :25-47). The TPU-native
+layouts (bit-level ggml block parity is not needed — KV bytes never leave
+the engine; what matters is the compression ratio and quality):
+
+  f16  -> bfloat16 cells (the TPU-native 16-bit float)
+  q8_0 -> int8 cells + one f32 scale per (token, kv-head) row of head_dim
+          elements (ggml scales per 32-elt block; per-head-row is the
+          vectorizable TPU analog at similar granularity)
+  q4_0 -> two 4-bit cells packed per uint8 along head_dim (D//2 bytes)
+          + one f32 scale per (token, kv-head) row
 """
 
 from __future__ import annotations
@@ -27,22 +36,25 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+KV_KINDS = ("f32", "f16", "q8_0", "q4_0")
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class KVCache:
-    k: jax.Array  # [L, S, T, KH, D] (compute dtype, or int8 when quantized)
-    v: jax.Array  # [L, S, T, KH, D]
+    k: jax.Array  # [L, S, T, KH, D] (compute dtype; int8/uint8-packed when quantized)
+    v: jax.Array  # [L, S, T, KH, D]  (q4_0: [..., D//2])
     lengths: jax.Array  # [S] int32: occupied cells per slot
     k_scale: jax.Array | None = None  # [L, S, T, KH] f32 when quantized
     v_scale: jax.Array | None = None
+    kind: str = "f32"  # static: one of KV_KINDS
 
     def tree_flatten(self):
-        return (self.k, self.v, self.lengths, self.k_scale, self.v_scale), None
+        return (self.k, self.v, self.lengths, self.k_scale, self.v_scale), self.kind
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, kind=aux)
 
     @property
     def n_slots(self) -> int:
@@ -65,21 +77,80 @@ def new_cache(
     head_dim: int,
     dtype=jnp.float32,
     quantized: bool = False,
+    kind: str | None = None,
 ) -> KVCache:
+    if kind is None:
+        kind = "q8_0" if quantized else ("f32" if dtype == jnp.float32 else "f16")
+    if kind not in KV_KINDS:
+        raise ValueError(f"kv cache kind {kind!r} not in {KV_KINDS}")
     shape = (n_layer, n_slots, max_len, n_kv_head, head_dim)
-    if quantized:
+    lengths = jnp.zeros((n_slots,), jnp.int32)
+    if kind == "q8_0":
         return KVCache(
             k=jnp.zeros(shape, jnp.int8),
             v=jnp.zeros(shape, jnp.int8),
-            lengths=jnp.zeros((n_slots,), jnp.int32),
+            lengths=lengths,
             k_scale=jnp.zeros(shape[:-1], jnp.float32),
             v_scale=jnp.zeros(shape[:-1], jnp.float32),
+            kind=kind,
         )
+    if kind == "q4_0":
+        if head_dim % 2:
+            raise ValueError("q4_0 KV needs even head_dim")
+        pshape = shape[:-1] + (head_dim // 2,)
+        return KVCache(
+            k=jnp.zeros(pshape, jnp.uint8),
+            v=jnp.zeros(pshape, jnp.uint8),
+            lengths=lengths,
+            k_scale=jnp.zeros(shape[:-1], jnp.float32),
+            v_scale=jnp.zeros(shape[:-1], jnp.float32),
+            kind=kind,
+        )
+    cdtype = jnp.bfloat16 if kind == "f16" else dtype
     return KVCache(
-        k=jnp.zeros(shape, dtype),
-        v=jnp.zeros(shape, dtype),
-        lengths=jnp.zeros((n_slots,), jnp.int32),
+        k=jnp.zeros(shape, cdtype),
+        v=jnp.zeros(shape, cdtype),
+        lengths=lengths,
+        kind=kind,
     )
+
+
+# -- KV row quantization (append path) and dequantization (attention) --------
+
+def quantize_kv_rows(x: jax.Array, kind: str):
+    """Quantize new KV rows x [..., D] -> (cells, scale[...]).
+
+    q8_0: symmetric absmax int8; q4_0: symmetric absmax 4-bit, two values
+    packed per byte along D (lo nibble = even index). Reference capability:
+    cache_type_k/v quantized storage (llama_engine.cc:628-637)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    if kind == "q8_0":
+        scale = amax / 127.0
+        q = jnp.round(xf / jnp.maximum(scale[..., None], 1e-12))
+        return jnp.clip(q, -127, 127).astype(jnp.int8), scale
+    if kind == "q4_0":
+        scale = amax / 7.0
+        q = jnp.round(xf / jnp.maximum(scale[..., None], 1e-12))
+        q = jnp.clip(q, -8, 7).astype(jnp.int32) + 8  # [0, 15]
+        lo, hi = q[..., 0::2], q[..., 1::2]
+        return (lo | (hi << 4)).astype(jnp.uint8), scale
+    raise ValueError(kind)
+
+
+def dequant_kv(cells: jax.Array, scale: jax.Array | None, kind: str,
+               dtype=jnp.float32) -> jax.Array:
+    """Inverse of quantize_kv_rows; identity for float kinds."""
+    if kind in ("f32", "f16"):
+        return cells.astype(dtype)
+    if kind == "q8_0":
+        return cells.astype(dtype) * scale[..., None].astype(dtype)
+    if kind == "q4_0":
+        lo = (cells & 0xF).astype(jnp.int32) - 8
+        hi = (cells >> 4).astype(jnp.int32) - 8
+        q = jnp.stack([lo, hi], axis=-1).reshape(cells.shape[:-1] + (-1,))
+        return q.astype(dtype) * scale[..., None].astype(dtype)
+    raise ValueError(kind)
 
 
 # -- seq ops (all jit-able, all metadata/index arithmetic) -------------------
@@ -87,7 +158,7 @@ def new_cache(
 def clear_all(cache: KVCache) -> KVCache:
     """Reference: llama_kv_cache_clear (llama_server_context.cc:287)."""
     return KVCache(cache.k, cache.v, jnp.zeros_like(cache.lengths),
-                   cache.k_scale, cache.v_scale)
+                   cache.k_scale, cache.v_scale, cache.kind)
 
 
 @jax.jit
@@ -97,7 +168,8 @@ def trim(cache: KVCache, slot: jax.Array, n: jax.Array) -> KVCache:
     lengths = cache.lengths.at[slot].set(
         jnp.minimum(cache.lengths[slot], n).astype(jnp.int32)
     )
-    return KVCache(cache.k, cache.v, lengths, cache.k_scale, cache.v_scale)
+    return KVCache(cache.k, cache.v, lengths, cache.k_scale, cache.v_scale,
+                   cache.kind)
 
 
 @jax.jit
@@ -115,7 +187,7 @@ def seq_cp(cache: KVCache, src: jax.Array, dst: jax.Array) -> KVCache:
     ks = cache.k_scale.at[:, dst].set(cache.k_scale[:, src]) if cache.k_scale is not None else None
     vs = cache.v_scale.at[:, dst].set(cache.v_scale[:, src]) if cache.v_scale is not None else None
     lengths = cache.lengths.at[dst].set(cache.lengths[src])
-    return KVCache(k, v, lengths, ks, vs)
+    return KVCache(k, v, lengths, ks, vs, cache.kind)
 
 
 @jax.jit
@@ -140,4 +212,4 @@ def shift_compact(cache: KVCache, slot: jax.Array, n_keep: jax.Array,
     ks = gather_slot(cache.k_scale) if cache.k_scale is not None else None
     vs = gather_slot(cache.v_scale) if cache.v_scale is not None else None
     lengths = cache.lengths.at[slot].set(cache.lengths[slot] - n_discard)
-    return KVCache(k, v, lengths, ks, vs)
+    return KVCache(k, v, lengths, ks, vs, cache.kind)

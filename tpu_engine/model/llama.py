@@ -21,7 +21,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..kvcache.cache import KVCache
+from ..kvcache.cache import KVCache, dequant_kv, quantize_kv_rows
 from .config import ModelConfig
 from .weights import QTensor, embed_rows, qmatmul
 
@@ -80,28 +80,33 @@ def _act(x: jax.Array, kind: str) -> jax.Array:
 
 def attention_reference(
     q: jax.Array,  # [B, Tc, H, D] rotated
-    k_cache: jax.Array,  # [B, T, KH, D] UNROTATED (includes the new rows)
+    k_cache: jax.Array,  # [B, T, KH, D] UNROTATED cells (quantized when kv_kind says so)
     v_cache: jax.Array,  # [B, T, KH, D]
+    k_scale: jax.Array | None,  # [B, T, KH] f32 when quantized
+    v_scale: jax.Array | None,
     q_pos: jax.Array,  # [B, Tc] absolute positions of the queries
     cfg: ModelConfig,
     ga_n: jax.Array,
     ga_w: jax.Array,
+    kv_kind: str = "f32",
 ) -> jax.Array:
     """Reference (XLA) attention over the slot cache. Returns [B, Tc, H, D].
 
     Cell index == position (kvcache invariant), so the causal mask is
     cell_idx <= q_pos and K is rotated here by its (possibly self-extend
-    remapped) cell index.
+    remapped) cell index. Quantized KV cells (q8_0/q4_0, kvcache/cache.py)
+    are dequantized in f32 before the rotation.
     """
-    B, T = k_cache.shape[0], k_cache.shape[1]
+    B = k_cache.shape[0]
     H, KH, D = cfg.n_head, cfg.n_kv_head, cfg.head_dim
     G = H // KH
+    kf = dequant_kv(k_cache, k_scale, kv_kind)
+    vf = dequant_kv(v_cache, v_scale, kv_kind)
+    T = kf.shape[1]
     cell = jnp.arange(T, dtype=jnp.int32)[None, :].repeat(B, 0)  # [B, T]
-    k_rot = apply_rope(k_cache, self_extend_pos(cell, ga_n, ga_w), cfg)
+    kf = apply_rope(kf, self_extend_pos(cell, ga_n, ga_w), cfg).astype(jnp.float32)
 
     qf = q.reshape(q.shape[0], q.shape[1], KH, G, D).astype(jnp.float32)
-    kf = k_rot.astype(jnp.float32)
-    vf = v_cache.astype(jnp.float32)
     scores = jnp.einsum("btkgd,bukd->btkgu", qf, kf) / jnp.sqrt(D).astype(jnp.float32)
     if cfg.attn_logit_softcap > 0:
         c = cfg.attn_logit_softcap
@@ -164,6 +169,7 @@ def _forward(
     write_cells = jnp.where(token_ok, q_pos, T)  # [B, Tc]
 
     k_cache, v_cache = cache.k, cache.v
+    k_scale, v_scale = cache.k_scale, cache.v_scale
     hidden_sum = jnp.zeros((B, cfg.n_embd), jnp.float32) if collect_hidden else None
 
     for li in range(cfg.n_layer):
@@ -182,16 +188,28 @@ def _forward(
 
         q_rot = apply_rope(hq, self_extend_pos(q_pos, ga_n, ga_w), cfg)
 
-        # append UNROTATED K and V to the cache (see kvcache docstring)
-        k_cache = k_cache.at[li, slot_ids[:, None], write_cells].set(
-            hk.astype(k_cache.dtype), mode="drop"
-        )
-        v_cache = v_cache.at[li, slot_ids[:, None], write_cells].set(
-            hv.astype(v_cache.dtype), mode="drop"
-        )
+        # append UNROTATED K and V to the cache (see kvcache docstring);
+        # quantize-on-append for q8_0/q4_0 cache kinds
+        if cache.kind in ("q8_0", "q4_0"):
+            qk, sk = quantize_kv_rows(hk, cache.kind)
+            qv, sv = quantize_kv_rows(hv, cache.kind)
+            k_cache = k_cache.at[li, slot_ids[:, None], write_cells].set(qk, mode="drop")
+            v_cache = v_cache.at[li, slot_ids[:, None], write_cells].set(qv, mode="drop")
+            k_scale = k_scale.at[li, slot_ids[:, None], write_cells].set(sk, mode="drop")
+            v_scale = v_scale.at[li, slot_ids[:, None], write_cells].set(sv, mode="drop")
+            ks_b, vs_b = k_scale[li, slot_ids], v_scale[li, slot_ids]
+        else:
+            k_cache = k_cache.at[li, slot_ids[:, None], write_cells].set(
+                hk.astype(k_cache.dtype), mode="drop"
+            )
+            v_cache = v_cache.at[li, slot_ids[:, None], write_cells].set(
+                hv.astype(v_cache.dtype), mode="drop"
+            )
+            ks_b = vs_b = None
 
         attn = _ATTN_IMPL(
-            q_rot, k_cache[li, slot_ids], v_cache[li, slot_ids], q_pos, cfg, ga_n, ga_w
+            q_rot, k_cache[li, slot_ids], v_cache[li, slot_ids], ks_b, vs_b,
+            q_pos, cfg, ga_n, ga_w, cache.kind,
         )
         attn = attn.reshape(B, Tc, H * D)
         attn = qmatmul(attn, lw["wo"])
@@ -227,7 +245,7 @@ def _forward(
         active, cache.lengths[slot_ids] + n_valid, cache.lengths[slot_ids]
     )
     new_lengths = cache.lengths.at[slot_ids].set(lengths.astype(jnp.int32))
-    new_cache = KVCache(k_cache, v_cache, new_lengths, cache.k_scale, cache.v_scale)
+    new_cache = KVCache(k_cache, v_cache, new_lengths, k_scale, v_scale, cache.kind)
     return logits, new_cache, pooled
 
 

@@ -69,6 +69,7 @@ class InferenceEngine:
         grp_attn_n: int = 1,
         grp_attn_w: int = 512,
         kv_cache_dtype=jnp.float32,
+        cache_type: str | None = None,  # reference cache_type_k/v: f16|q8_0|q4_0
         prefill_buckets=PREFILL_BUCKETS,
         decode_chunk: int | None = None,
     ):
@@ -88,6 +89,7 @@ class InferenceEngine:
         self.cache = new_cache(
             self.cfg.n_layer, n_parallel, self.slot_ctx,
             self.cfg.n_kv_head, self.cfg.head_dim, dtype=kv_cache_dtype,
+            kind=cache_type,
         )
         self.slots = [Slot(i, self.slot_ctx) for i in range(n_parallel)]
 

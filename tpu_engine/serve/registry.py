@@ -104,6 +104,7 @@ class EngineRegistry:
             ctx_shift=bool(body.get("ctx_shift", True)),
             grp_attn_n=int(body.get("grp_attn_n", 1)),
             grp_attn_w=int(body.get("grp_attn_w", 512)),
+            cache_type=cache_type,
         )
         prompts = ModelPrompts(
             user_prompt=str(body.get("user_prompt", "USER: ")),
