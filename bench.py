@@ -37,10 +37,12 @@ def main() -> int:
     import jax
 
     if os.environ.get("BENCH_PALLAS", "1") == "1" and jax.devices()[0].platform == "tpu":
-        from tpu_engine.kernels import dequant_matmul
+        from tpu_engine.kernels import dequant_matmul, flash_attention
 
         dequant_matmul.enable()
-        print("[pallas fused dequant-matmul enabled]", file=sys.stderr)
+        flash_attention.enable()
+        print("[pallas fused dequant-matmul + flash attention enabled]",
+              file=sys.stderr)
 
     from tpu_engine.model.loader import load_model
     from tpu_engine.sampling import SamplingParams

@@ -112,17 +112,18 @@ def test_seq_ops_preserve_quantized(tiny, kind):
     )
     c2 = seq_cp(cache, jnp.int32(0), jnp.int32(1))
     assert c2.kind == kind and int(c2.lengths[1]) == len(PROMPT)
-    np.testing.assert_array_equal(np.asarray(c2.k[:, 1]), np.asarray(c2.k[:, 0]))
-    np.testing.assert_array_equal(np.asarray(c2.k_scale[:, 1]),
-                                  np.asarray(c2.k_scale[:, 0]))
+    for a in c2.k:
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(a[0]))
+    for a in c2.k_scale:
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(a[0]))
 
     c3 = trim(c2, jnp.int32(0), jnp.int32(4))
     assert c3.kind == kind and int(c3.lengths[0]) == 4
 
     # shift: evict 2 cells after n_keep=1 -> cells [3..] slide to [1..]
-    before = np.asarray(dequant_kv(cache.k[:, 0], cache.k_scale[:, 0], kind))
+    before = np.asarray(dequant_kv(cache.k[0][0], cache.k_scale[0][0], kind))
     c4 = shift_compact(cache, jnp.int32(0), jnp.int32(1), jnp.int32(2))
-    after = np.asarray(dequant_kv(c4.k[:, 0], c4.k_scale[:, 0], kind))
+    after = np.asarray(dequant_kv(c4.k[0][0], c4.k_scale[0][0], kind))
     assert int(c4.lengths[0]) == len(PROMPT) - 2
     np.testing.assert_allclose(after[:, 2: len(PROMPT) - 2],
                                before[:, 4: len(PROMPT)], atol=1e-6)

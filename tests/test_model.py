@@ -132,14 +132,14 @@ def test_inactive_slot_untouched(tiny):
         lm.weights, cache, jnp.asarray([PROMPT], jnp.int32),
         jnp.asarray([0], jnp.int32), jnp.asarray([True]), lm.cfg,
     )
-    k_before = np.asarray(cache.k[:, 1])
+    k_before = np.asarray(jnp.stack([a[1] for a in cache.k]))
     len_before = int(cache.lengths[1])
     _, cache, _ = forward_step(
         lm.weights, cache, jnp.asarray([[50], [60]], jnp.int32),
         jnp.asarray([0, 1], jnp.int32), jnp.asarray([True, False]), lm.cfg,
     )
     assert int(cache.lengths[1]) == len_before
-    np.testing.assert_array_equal(np.asarray(cache.k[:, 1]), k_before)
+    np.testing.assert_array_equal(np.asarray(jnp.stack([a[1] for a in cache.k])), k_before)
 
 
 def test_prompt_cache_trim_reuse(tiny):
@@ -175,22 +175,22 @@ def test_context_shift_positions(tiny):
         lm.weights, cache, jnp.asarray([toks], jnp.int32),
         jnp.asarray([0], jnp.int32), jnp.asarray([True]), lm.cfg,
     )
-    k_before = np.asarray(cache.k[:, 0])
-    v_before = np.asarray(cache.v[:, 0])
+    k_before = np.asarray(jnp.stack([a[0] for a in cache.k]))
+    v_before = np.asarray(jnp.stack([a[0] for a in cache.v]))
     n_keep, n_discard = 2, 4
     cache = shift_compact(cache, jnp.int32(0), jnp.int32(n_keep), jnp.int32(n_discard))
     new_len = len(toks) - n_discard
     assert int(cache.lengths[0]) == new_len
-    k_after = np.asarray(cache.k[:, 0])
-    v_after = np.asarray(cache.v[:, 0])
-    # head kept in place
-    np.testing.assert_array_equal(k_after[:, : n_keep + 1], k_before[:, : n_keep + 1])
+    k_after = np.asarray(jnp.stack([a[0] for a in cache.k]))
+    v_after = np.asarray(jnp.stack([a[0] for a in cache.v]))
+    # head kept in place (cache layout [L, KH, T, D] after the slot pick)
+    np.testing.assert_array_equal(k_after[:, :, : n_keep + 1], k_before[:, :, : n_keep + 1])
     # tail slid down by n_discard
     np.testing.assert_array_equal(
-        k_after[:, n_keep + 1 : new_len], k_before[:, n_keep + 1 + n_discard : len(toks)]
+        k_after[:, :, n_keep + 1 : new_len], k_before[:, :, n_keep + 1 + n_discard : len(toks)]
     )
     np.testing.assert_array_equal(
-        v_after[:, n_keep + 1 : new_len], v_before[:, n_keep + 1 + n_discard : len(toks)]
+        v_after[:, :, n_keep + 1 : new_len], v_before[:, :, n_keep + 1 + n_discard : len(toks)]
     )
     # decode continues and produces finite logits
     logits, _, _ = forward_step(

@@ -122,24 +122,27 @@ def shard_weights(weights: dict, mesh: Mesh) -> dict:
 
 
 def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
-    """KV cache [L, S, T, KH, D]: slots on "data", kv-heads on "model"."""
+    """KV cache (per-layer [S, KH, T, D]): slots on "data", kv-heads on
+    "model"."""
     n_model = mesh.shape["model"]
     n_data = mesh.shape["data"]
-    kh = cache.k.shape[3]
-    s = cache.k.shape[1]
+    s, kh = cache.k[0].shape[0], cache.k[0].shape[1]
     head_ax = "model" if kh % max(n_model, 1) == 0 and n_model > 1 else None
     slot_ax = "data" if s % max(n_data, 1) == 0 and n_data > 1 else None
-    spec = P(None, slot_ax, None, head_ax, None)
+    spec = P(slot_ax, head_ax, None, None)
+    sc_spec = P(slot_ax, head_ax, None)
 
-    def put(arr, sp):
-        return jax.device_put(arr, NamedSharding(mesh, sp)) if arr is not None else None
+    def put(arrs, sp):
+        if arrs is None:
+            return None
+        return tuple(jax.device_put(a, NamedSharding(mesh, sp)) for a in arrs)
 
     return KVCache(
         k=put(cache.k, spec),
         v=put(cache.v, spec),
-        lengths=put(cache.lengths, P(None)),
-        k_scale=put(cache.k_scale, P(None, slot_ax, None, head_ax)),
-        v_scale=put(cache.v_scale, P(None, slot_ax, None, head_ax)),
+        lengths=jax.device_put(cache.lengths, NamedSharding(mesh, P(None))),
+        k_scale=put(cache.k_scale, sc_spec),
+        v_scale=put(cache.v_scale, sc_spec),
         kind=cache.kind,
     )
 

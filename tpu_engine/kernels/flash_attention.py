@@ -1,0 +1,423 @@
+"""Pallas TPU flash attention over the slot-paged KV cache.
+
+The TPU-native replacement for llama.cpp's flash-attention path
+(params.flash_attn, forced when KV is quantized — reference
+/root/reference/src/llama_engine.cc:639-647; SURVEY.md section 2b "Flash
+attention"). Two kernels:
+
+  decode  (Tc=1): grid (B, kv_blocks) with ALL kv heads merged into one
+          score axis per step (block-diagonal head mask) — one
+          [H, D] x [D, KH*Tblk] MXU dot and KH x larger DMAs per step.
+  prefill (Tc>1): grid (B, KH, q_blocks, kv_blocks) — enough q rows per
+          head to feed the MXU without merging.
+
+TPU-first design points:
+  - The kernel reads the layer's WHOLE cache array [S, KH, T, D] with the
+    slot ids as scalar-prefetch arguments — no per-slot gather copy of the
+    cache ever materializes, and every layer shares one compiled kernel
+    (identical shapes).
+  - KV cells stream from HBM in their STORED form (bf16/f32, q8_0 int8 +
+    row scale, q4_0 split-half nibbles) and dequantize in VMEM — a
+    materialized full-precision cache never exists.
+  - K rows are stored unrotated (kvcache/cache.py invariant); rotation
+    happens here from precomputed cos/sin tables indexed by cell (the
+    self-extend ga_n/ga_w remap is baked into the tables, which XLA CSEs
+    across layers). All models run split-half "neox" rotation:
+    "norm"-rope models are de-interleaved at load (model/loader.py
+    deinterleave_rope_perm), so the rotate is two lane-dim halves, never
+    a lane interleave.
+  - per-(row, q-block) valid-length clamp via scalar prefetch: kv blocks
+    past the causal frontier map to the previous block index (no new DMA)
+    and skip all compute — decode cost scales with the ACTUAL context
+    length, not the allocated max_len.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..model.config import ModelConfig
+
+NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _dequant_block(cells, scale_col, kind: str):
+    """cells [T, Dk] stored form -> f32 [T, D]; scale_col [T, 1] or None."""
+    if kind in ("f32", "f16"):
+        return cells.astype(jnp.float32)
+    if kind == "q8_0":
+        return cells.astype(jnp.float32) * scale_col
+    # q4_0 split-half packing (kvcache/cache.py quantize_kv_rows)
+    c = cells.astype(jnp.int32)
+    lo = (c & 0xF) - 8
+    hi = (c >> 4) - 8
+    return jnp.concatenate([lo, hi], axis=1).astype(jnp.float32) * scale_col
+
+
+def _rotate(x, cos, sin, cfg: ModelConfig):
+    """Split-half rotation of x [T, D] by tables cos/sin [T, rd/2]."""
+    rd, half = cfg.rope_dim, cfg.rope_dim // 2
+    x1, x2 = x[:, :half], x[:, half:rd]
+    rot = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=1)
+    if rd < x.shape[1]:
+        rot = jnp.concatenate([rot, x[:, rd:]], axis=1)
+    return rot
+
+
+def _rope_tables(Tpad: int, cfg: ModelConfig, ga_n, ga_w):
+    """cos/sin [Tpad, rd/2] by cell index, self-extend remap baked in.
+    Computed in XLA outside the kernel; CSE'd across the layer loop."""
+    half = cfg.rope_dim // 2
+    pos = jnp.arange(Tpad, dtype=jnp.int32)
+    pos = jnp.where(
+        (ga_n > 1) & (pos >= ga_w), ga_w + (pos - ga_w) // jnp.maximum(ga_n, 1), pos
+    )
+    inv_freq = jnp.exp(
+        jnp.arange(half, dtype=jnp.float32) * (-math.log(cfg.rope_theta) / half)
+    )
+    ang = pos.astype(jnp.float32)[:, None] * inv_freq[None, :] / cfg.rope_scaling
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def _online_update(s, vf, acc_ref, m_ref, l_ref):
+    m_prev = m_ref[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    corr = jnp.exp(m_prev - m_new)
+    l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
+        p, vf, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+
+# --------------------------------------------------------------------------
+# decode kernel (Tc = 1): heads merged
+# --------------------------------------------------------------------------
+
+def _decode_kernel(
+    slots_ref, starts_ref, ends_ref,  # scalar prefetch (SMEM)
+    q_ref, k_ref, v_ref, cos_ref, sin_ref, ks_ref, vs_ref,  # VMEM blocks
+    out_ref,
+    acc_ref, m_ref, l_ref,
+    *, cfg: ModelConfig, kind: str, G: int, Tblk: int, n_kb: int,
+):
+    b = pl.program_id(0)
+    kb = pl.program_id(1)
+    D = cfg.head_dim
+    KH = cfg.n_kv_head
+    H = KH * G
+    RQ = acc_ref.shape[0]
+    C = KH * Tblk
+
+    end = ends_ref[b]
+    last_kb = jnp.maximum((end + Tblk - 1) // Tblk - 1, 0)
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    @pl.when(kb <= last_kb)
+    def _():
+        qx = q_ref[0, 0].reshape(H, D).astype(jnp.float32)
+        if RQ != H:
+            qx = jnp.pad(qx, ((0, RQ - H), (0, 0)))
+
+        # [KH, Tblk, Dk] -> [KH*Tblk, Dk]; flat row c: head c//Tblk, cell
+        # kb*Tblk + c%Tblk. Tables tile along the head repeats.
+        kcells = k_ref[0].reshape(C, k_ref.shape[-1])
+        vcells = v_ref[0].reshape(C, v_ref.shape[-1])
+        ks = ks_ref[0].reshape(C, 1) if ks_ref is not None else None
+        vs = vs_ref[0].reshape(C, 1) if vs_ref is not None else None
+        cos = pltpu.repeat(cos_ref[:], KH, axis=0) if KH > 1 else cos_ref[:]
+        sin = pltpu.repeat(sin_ref[:], KH, axis=0) if KH > 1 else sin_ref[:]
+        kf = _rotate(_dequant_block(kcells, ks, kind), cos, sin, cfg)
+        vf = _dequant_block(vcells, vs, kind)
+
+        s = jax.lax.dot_general(
+            qx, kf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * (1.0 / math.sqrt(D))
+        if cfg.attn_logit_softcap > 0:
+            s = jnp.tanh(s / cfg.attn_logit_softcap) * cfg.attn_logit_softcap
+
+        row_head = jax.lax.broadcasted_iota(jnp.int32, (RQ, C), 0) // G
+        col_flat = jax.lax.broadcasted_iota(jnp.int32, (RQ, C), 1)
+        ok = (row_head == col_flat // Tblk) & (kb * Tblk + col_flat % Tblk < end)
+        s = jnp.where(ok, s, NEG_INF)
+
+        _online_update(s, vf, acc_ref, m_ref, l_ref)
+
+    @pl.when(kb == n_kb - 1)
+    def _():
+        out = acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)
+        out_ref[0, 0] = out[:H].reshape(KH, G, D).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "kind", "interpret"))
+def _decode_call(q5, k_all, v_all, ks_all, vs_all, slots, starts, ends, ga,
+                 *, cfg: ModelConfig, kind: str, interpret: bool):
+    """q5 [B, 1, KH, G, D]; k/v [S, KH, T, Dk]; scales [S, KH, T]|None."""
+    B, _, KH, G, D = q5.shape
+    T = k_all.shape[2]
+    Dk = k_all.shape[3]
+
+    # budget the merged score axis C = KH*Tblk so dequantized f32 blocks
+    # (C x D) stay ~1 MB regardless of storage dtype
+    C_target = max(128 * KH, (1 << 20) // (D * 4))
+    Tblk = max(128, C_target // KH // 128 * 128)
+    Tblk = min(Tblk, _round_up(T, 128))
+    n_kb = pl.cdiv(T, Tblk)
+    Tpad = Tblk * n_kb
+    RQ = _round_up(KH * G, 8)
+
+    cos_t, sin_t = _rope_tables(Tpad, cfg, ga[0], ga[1])
+
+    def q_map(b, kb, *_):
+        return (b, 0, 0, 0, 0)
+
+    def clamp(b, kb, ends):
+        return jnp.minimum(kb, jnp.maximum((ends[b] + Tblk - 1) // Tblk - 1, 0))
+
+    def kv_map(b, kb, slots, starts, ends):
+        return (slots[b], 0, clamp(b, kb, ends), 0)
+
+    def tab_map(b, kb, slots, starts, ends):
+        return (clamp(b, kb, ends), 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, KH, G, D), q_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, KH, Tblk, Dk), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, KH, Tblk, Dk), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Tblk, cfg.rope_dim // 2), tab_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Tblk, cfg.rope_dim // 2), tab_map, memory_space=pltpu.VMEM),
+    ]
+    args = [q5, k_all, v_all, cos_t, sin_t]
+    if ks_all is not None:
+        in_specs += [
+            pl.BlockSpec((1, KH, Tblk, 1), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KH, Tblk, 1), kv_map, memory_space=pltpu.VMEM),
+        ]
+        args += [ks_all[..., None], vs_all[..., None]]
+        kernel = _decode_kernel
+    else:
+        kernel = lambda sl, st, en, q, k, v, co, si, o, a, m, l, **kw: \
+            _decode_kernel(sl, st, en, q, k, v, co, si, None, None,
+                           o, a, m, l, **kw)
+
+    if T != Tpad:
+        pad = [(0, 0)] * 4
+        pad[2] = (0, Tpad - T)
+        args[1] = jnp.pad(args[1], pad)
+        args[2] = jnp.pad(args[2], pad)
+        if ks_all is not None:
+            args[5] = jnp.pad(args[5], pad)
+            args[6] = jnp.pad(args[6], pad)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, n_kb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, KH, G, D), q_map, memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((RQ, D), jnp.float32),
+            pltpu.VMEM((RQ, 128), jnp.float32),
+            pltpu.VMEM((RQ, 128), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(kernel, cfg=cfg, kind=kind, G=G, Tblk=Tblk, n_kb=n_kb),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q5.shape, q5.dtype),
+        interpret=interpret,
+    )(slots, starts, ends, *args)
+
+
+# --------------------------------------------------------------------------
+# prefill kernel (Tc > 1): per-head grid
+# --------------------------------------------------------------------------
+
+def _prefill_kernel(
+    slots_ref, starts_ref, ends_ref,  # scalar prefetch (SMEM)
+    q_ref, k_ref, v_ref, cos_ref, sin_ref, ks_ref, vs_ref,
+    out_ref,
+    acc_ref, m_ref, l_ref,
+    *, cfg: ModelConfig, kind: str, G: int, Qblk: int, Tblk: int, n_kb: int,
+):
+    b = pl.program_id(0)
+    qb = pl.program_id(2)
+    kb = pl.program_id(3)
+    D = cfg.head_dim
+    rows = Qblk * G
+    RQ = acc_ref.shape[0]
+
+    start, end = starts_ref[b], ends_ref[b]
+    frontier = jnp.minimum(end, start + (qb + 1) * Qblk)  # causal + length
+    last_kb = jnp.maximum((frontier + Tblk - 1) // Tblk - 1, 0)
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    @pl.when(kb <= last_kb)
+    def _():
+        qx = q_ref[0, :, 0].reshape(rows, D).astype(jnp.float32)
+        if RQ != rows:
+            qx = jnp.pad(qx, ((0, RQ - rows), (0, 0)))
+
+        ks = ks_ref[0, 0] if ks_ref is not None else None  # [Tblk, 1]
+        vs = vs_ref[0, 0] if vs_ref is not None else None
+        kf = _rotate(_dequant_block(k_ref[0, 0], ks, kind),
+                     cos_ref[:], sin_ref[:], cfg)
+        vf = _dequant_block(v_ref[0, 0], vs, kind)
+
+        s = jax.lax.dot_general(
+            qx, kf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * (1.0 / math.sqrt(D))
+        if cfg.attn_logit_softcap > 0:
+            s = jnp.tanh(s / cfg.attn_logit_softcap) * cfg.attn_logit_softcap
+
+        # causal mask: cell <= q_pos(row); q_pos = start + qb*Qblk + row//G
+        row_pos = start + qb * Qblk + (
+            jax.lax.broadcasted_iota(jnp.int32, (RQ, Tblk), 0) // G
+        )
+        col = kb * Tblk + jax.lax.broadcasted_iota(jnp.int32, (RQ, Tblk), 1)
+        s = jnp.where(col <= row_pos, s, NEG_INF)
+
+        _online_update(s, vf, acc_ref, m_ref, l_ref)
+
+    @pl.when(kb == n_kb - 1)
+    def _():
+        out = acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)
+        out_ref[0, :, 0] = out[:rows].reshape(Qblk, G, D).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "kind", "interpret"))
+def _prefill_call(q5, k_all, v_all, ks_all, vs_all, slots, starts, ends, ga,
+                  *, cfg: ModelConfig, kind: str, interpret: bool):
+    """q5 [B, Tc, KH, G, D]; cache arrays as in _decode_call."""
+    B, Tc, KH, G, D = q5.shape
+    T = k_all.shape[2]
+    Dk = k_all.shape[3]
+
+    Tblk = min(_round_up(T, 128), 512)
+    n_kb = pl.cdiv(T, Tblk)
+    Tpad = Tblk * n_kb
+    Qblk = max(1, min(Tc, 256 // G))
+    while Tc % Qblk:
+        Qblk -= 1
+    n_qb = Tc // Qblk
+    RQ = _round_up(Qblk * G, 8)
+
+    cos_t, sin_t = _rope_tables(Tpad, cfg, ga[0], ga[1])
+
+    def q_map(b, kh, qb, kb, *_):
+        return (b, qb, kh, 0, 0)
+
+    def clamp_kb(b, qb, kb, starts, ends):
+        frontier = jnp.minimum(ends[b], starts[b] + (qb + 1) * Qblk)
+        return jnp.minimum(kb, jnp.maximum((frontier + Tblk - 1) // Tblk - 1, 0))
+
+    def kv_map(b, kh, qb, kb, slots, starts, ends):
+        return (slots[b], kh, clamp_kb(b, qb, kb, starts, ends), 0)
+
+    def tab_map(b, kh, qb, kb, slots, starts, ends):
+        return (clamp_kb(b, qb, kb, starts, ends), 0)
+
+    in_specs = [
+        pl.BlockSpec((1, Qblk, 1, G, D), q_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Tblk, Dk), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Tblk, Dk), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Tblk, cfg.rope_dim // 2), tab_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Tblk, cfg.rope_dim // 2), tab_map, memory_space=pltpu.VMEM),
+    ]
+    args = [q5, k_all, v_all, cos_t, sin_t]
+    if ks_all is not None:
+        in_specs += [
+            pl.BlockSpec((1, 1, Tblk, 1), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Tblk, 1), kv_map, memory_space=pltpu.VMEM),
+        ]
+        args += [ks_all[..., None], vs_all[..., None]]
+        kernel = _prefill_kernel
+    else:
+        kernel = lambda sl, st, en, q, k, v, co, si, o, a, m, l, **kw: \
+            _prefill_kernel(sl, st, en, q, k, v, co, si, None, None,
+                            o, a, m, l, **kw)
+
+    if T != Tpad:
+        pad = [(0, 0)] * 4
+        pad[2] = (0, Tpad - T)
+        args[1] = jnp.pad(args[1], pad)
+        args[2] = jnp.pad(args[2], pad)
+        if ks_all is not None:
+            args[5] = jnp.pad(args[5], pad)
+            args[6] = jnp.pad(args[6], pad)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, KH, n_qb, n_kb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, Qblk, 1, G, D), q_map, memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((RQ, D), jnp.float32),
+            pltpu.VMEM((RQ, 128), jnp.float32),
+            pltpu.VMEM((RQ, 128), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(kernel, cfg=cfg, kind=kind, G=G, Qblk=Qblk,
+                          Tblk=Tblk, n_kb=n_kb),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q5.shape, q5.dtype),
+        interpret=interpret,
+    )(slots, starts, ends, *args)
+
+
+_INTERPRET = False
+
+
+def flash_attention(q, k_l, v_l, ks_l, vs_l, kv_kind, slot_ids, q_pos, cfg,
+                    ga_n, ga_w):
+    """Drop-in for model.llama.attention_reference (the _ATTN_IMPL hook)."""
+    B, Tc, H, D = q.shape
+    KH = cfg.n_kv_head
+    G = H // KH
+    q5 = q.reshape(B, Tc, KH, G, D)
+    starts = q_pos[:, 0].astype(jnp.int32)
+    ends = (q_pos[:, -1] + 1).astype(jnp.int32)
+    ga = jnp.stack([jnp.asarray(ga_n, jnp.int32), jnp.asarray(ga_w, jnp.int32)])
+    call = _decode_call if Tc == 1 else _prefill_call
+    out = call(
+        q5, k_l, v_l, ks_l, vs_l,
+        slot_ids.astype(jnp.int32), starts, ends, ga,
+        cfg=cfg, kind=kv_kind, interpret=_INTERPRET,
+    )
+    return out.reshape(B, Tc, H, D)
+
+
+def enable(interpret: bool = False) -> None:
+    """Install as the attention implementation (model.llama._ATTN_IMPL)."""
+    global _INTERPRET
+    _INTERPRET = interpret
+    from ..model import llama
+
+    llama.set_attention_impl(flash_attention)
+
+
+def disable() -> None:
+    from ..model import llama
+
+    llama.set_attention_impl(llama.attention_reference)

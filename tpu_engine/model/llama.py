@@ -21,7 +21,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..kvcache.cache import KVCache, dequant_kv, quantize_kv_rows
+from ..kvcache.cache import KVCache, append_rows, dequant_kv, quantize_kv_rows
 from .config import ModelConfig
 from .weights import QTensor, embed_rows, qmatmul
 
@@ -80,15 +80,16 @@ def _act(x: jax.Array, kind: str) -> jax.Array:
 
 def attention_reference(
     q: jax.Array,  # [B, Tc, H, D] rotated
-    k_cache: jax.Array,  # [B, T, KH, D] UNROTATED cells (quantized when kv_kind says so)
-    v_cache: jax.Array,  # [B, T, KH, D]
-    k_scale: jax.Array | None,  # [B, T, KH] f32 when quantized
-    v_scale: jax.Array | None,
+    k_l: jax.Array,  # layer cache cells [S, KH, T, Dk]
+    v_l: jax.Array,
+    ks_l: jax.Array | None,  # layer scales [S, KH, T] when quantized
+    vs_l: jax.Array | None,
+    kv_kind: str,
+    slot_ids: jax.Array,  # [B] int32
     q_pos: jax.Array,  # [B, Tc] absolute positions of the queries
     cfg: ModelConfig,
     ga_n: jax.Array,
     ga_w: jax.Array,
-    kv_kind: str = "f32",
 ) -> jax.Array:
     """Reference (XLA) attention over the slot cache. Returns [B, Tc, H, D].
 
@@ -97,14 +98,18 @@ def attention_reference(
     remapped) cell index. Quantized KV cells (q8_0/q4_0, kvcache/cache.py)
     are dequantized in f32 before the rotation.
     """
-    B = k_cache.shape[0]
+    B = slot_ids.shape[0]
     H, KH, D = cfg.n_head, cfg.n_kv_head, cfg.head_dim
     G = H // KH
-    kf = dequant_kv(k_cache, k_scale, kv_kind)
-    vf = dequant_kv(v_cache, v_scale, kv_kind)
-    T = kf.shape[1]
+    ks = ks_l[slot_ids] if ks_l is not None else None
+    vs = vs_l[slot_ids] if vs_l is not None else None
+    kf = dequant_kv(k_l[slot_ids], ks, kv_kind)  # [B, KH, T, D]
+    vf = dequant_kv(v_l[slot_ids], vs, kv_kind)
+    T = kf.shape[2]
     cell = jnp.arange(T, dtype=jnp.int32)[None, :].repeat(B, 0)  # [B, T]
+    kf = jnp.swapaxes(kf, 1, 2)  # [B, T, KH, D] for apply_rope
     kf = apply_rope(kf, self_extend_pos(cell, ga_n, ga_w), cfg).astype(jnp.float32)
+    vf = jnp.swapaxes(vf, 1, 2)
 
     qf = q.reshape(q.shape[0], q.shape[1], KH, G, D).astype(jnp.float32)
     scores = jnp.einsum("btkgd,bukd->btkgu", qf, kf) / jnp.sqrt(D).astype(jnp.float32)
@@ -164,12 +169,9 @@ def _forward(
     if cfg.embedding_scale != 1.0:
         x = x * jnp.asarray(cfg.embedding_scale, dtype)
 
-    # scatter target cells; inactive rows and pad tokens write OOB -> dropped
-    token_ok = active[:, None] & (jnp.arange(Tc, dtype=jnp.int32)[None, :] < n_valid[:, None])
-    write_cells = jnp.where(token_ok, q_pos, T)  # [B, Tc]
-
-    k_cache, v_cache = cache.k, cache.v
-    k_scale, v_scale = cache.k_scale, cache.v_scale
+    k_cache, v_cache = list(cache.k), list(cache.v)
+    k_scale = list(cache.k_scale) if cache.k_scale is not None else None
+    v_scale = list(cache.v_scale) if cache.v_scale is not None else None
     hidden_sum = jnp.zeros((B, cfg.n_embd), jnp.float32) if collect_hidden else None
 
     for li in range(cfg.n_layer):
@@ -188,28 +190,29 @@ def _forward(
 
         q_rot = apply_rope(hq, self_extend_pos(q_pos, ga_n, ga_w), cfg)
 
-        # append UNROTATED K and V to the cache (see kvcache docstring);
-        # quantize-on-append for q8_0/q4_0 cache kinds
+        # append UNROTATED K and V to this layer's cache (see kvcache
+        # docstring): per-slot dynamic_update_slice at the contiguous cell
+        # window — the in-place pattern; quantize-on-append for q8_0/q4_0
+        def put(arr_list, vals):
+            arr_list[li] = append_rows(arr_list[li], vals, slot_ids, start,
+                                       n_valid, active)
+
         if cache.kind in ("q8_0", "q4_0"):
             qk, sk = quantize_kv_rows(hk, cache.kind)
             qv, sv = quantize_kv_rows(hv, cache.kind)
-            k_cache = k_cache.at[li, slot_ids[:, None], write_cells].set(qk, mode="drop")
-            v_cache = v_cache.at[li, slot_ids[:, None], write_cells].set(qv, mode="drop")
-            k_scale = k_scale.at[li, slot_ids[:, None], write_cells].set(sk, mode="drop")
-            v_scale = v_scale.at[li, slot_ids[:, None], write_cells].set(sv, mode="drop")
-            ks_b, vs_b = k_scale[li, slot_ids], v_scale[li, slot_ids]
+            put(k_cache, qk)
+            put(v_cache, qv)
+            put(k_scale, sk)
+            put(v_scale, sv)
         else:
-            k_cache = k_cache.at[li, slot_ids[:, None], write_cells].set(
-                hk.astype(k_cache.dtype), mode="drop"
-            )
-            v_cache = v_cache.at[li, slot_ids[:, None], write_cells].set(
-                hv.astype(v_cache.dtype), mode="drop"
-            )
-            ks_b = vs_b = None
+            put(k_cache, hk)
+            put(v_cache, hv)
 
         attn = _ATTN_IMPL(
-            q_rot, k_cache[li, slot_ids], v_cache[li, slot_ids], ks_b, vs_b,
-            q_pos, cfg, ga_n, ga_w, cache.kind,
+            q_rot, k_cache[li], v_cache[li],
+            k_scale[li] if k_scale is not None else None,
+            v_scale[li] if v_scale is not None else None,
+            cache.kind, slot_ids, q_pos, cfg, ga_n, ga_w,
         )
         attn = attn.reshape(B, Tc, H * D)
         attn = qmatmul(attn, lw["wo"])
@@ -245,7 +248,11 @@ def _forward(
         active, cache.lengths[slot_ids] + n_valid, cache.lengths[slot_ids]
     )
     new_lengths = cache.lengths.at[slot_ids].set(lengths.astype(jnp.int32))
-    new_cache = KVCache(k_cache, v_cache, new_lengths, k_scale, v_scale, cache.kind)
+    new_cache = KVCache(
+        tuple(k_cache), tuple(v_cache), new_lengths,
+        tuple(k_scale) if k_scale is not None else None,
+        tuple(v_scale) if v_scale is not None else None, cache.kind,
+    )
     return logits, new_cache, pooled
 
 

@@ -18,7 +18,7 @@ import numpy as np
 from ..gguf.reader import GGUFFile, read_gguf
 from ..tokenizer.tokenizer import Tokenizer
 from .config import ModelConfig
-from .weights import QTensor, qtensor_from_gguf
+from .weights import QTensor, permute_rows, qtensor_from_gguf
 
 
 @dataclass
@@ -37,21 +37,46 @@ def _norm(g: GGUFFile, name: str, dtype, add_one: bool = False) -> jax.Array:
     return jnp.asarray(w, dtype)
 
 
+def deinterleave_rope_perm(n_head: int, head_dim: int, rope_dim: int) -> np.ndarray:
+    """Row permutation turning "norm" (interleaved-pair) rope projections
+    into "neox" (split-half) layout: within each head, row d (d < rd/2)
+    takes old row 2d, row d + rd/2 takes old row 2d+1; rows past rope_dim
+    stay. Scores are invariant because q and k get the same permutation."""
+    half = rope_dim // 2
+    p = np.arange(head_dim)
+    p[:half] = 2 * np.arange(half)
+    p[half:rope_dim] = 2 * np.arange(half) + 1
+    return (np.arange(n_head)[:, None] * head_dim + p[None, :]).reshape(-1)
+
+
 def load_model(
     path: str,
     compute_dtype=jnp.float32,
     sharder=None,
 ) -> LoadedModel:
     """Load a GGUF model. `sharder(name, qtensor) -> qtensor` may re-device
-    arrays with NamedSharding (dist/sharding.py)."""
+    arrays with NamedSharding (dist/sharding.py).
+
+    "norm"-rope models (llama/mistral) are converted to "neox" rotation at
+    load by de-interleaving q/k projection rows (exact; see
+    deinterleave_rope_perm) — the TPU-friendly rotation form."""
     g = read_gguf(path)
     try:
         cfg = ModelConfig.from_gguf_metadata(g.metadata)
         tok = Tokenizer.from_gguf_metadata(g.metadata)
         add_one = cfg.arch.startswith("gemma")
 
+        qk_perm = None
+        if cfg.rope_type == "norm":
+            qperm = deinterleave_rope_perm(cfg.n_head, cfg.head_dim, cfg.rope_dim)
+            kperm = deinterleave_rope_perm(cfg.n_kv_head, cfg.head_dim, cfg.rope_dim)
+            qk_perm = {"q": qperm, "k": kperm}
+            cfg.rope_type = "neox"
+
         def qt(name: str) -> QTensor:
             t = qtensor_from_gguf(g, name, compute_dtype)
+            if qk_perm is not None and name.endswith((".attn_q.weight", ".attn_k.weight")):
+                t = permute_rows(t, qk_perm["q" if "attn_q" in name else "k"])
             if sharder is not None:
                 t = sharder(name, t)
             return t
@@ -71,8 +96,12 @@ def load_model(
                 "w_down": qt(p + "ffn_down.weight"),
             }
             if p + "attn_q.bias" in g.tensors:
-                lw["bq"] = jnp.asarray(g.dequantize(p + "attn_q.bias", np.float32), compute_dtype)
-                lw["bk"] = jnp.asarray(g.dequantize(p + "attn_k.bias", np.float32), compute_dtype)
+                bq = np.asarray(g.dequantize(p + "attn_q.bias", np.float32))
+                bk = np.asarray(g.dequantize(p + "attn_k.bias", np.float32))
+                if qk_perm is not None:
+                    bq, bk = bq[qk_perm["q"]], bk[qk_perm["k"]]
+                lw["bq"] = jnp.asarray(bq, compute_dtype)
+                lw["bk"] = jnp.asarray(bk, compute_dtype)
                 lw["bv"] = jnp.asarray(g.dequantize(p + "attn_v.bias", np.float32), compute_dtype)
             if p + "post_attention_norm.weight" in g.tensors:
                 lw["post_attn_norm"] = _norm(

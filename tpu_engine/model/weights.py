@@ -152,6 +152,23 @@ def _rows(qt: QTensor, ids: jax.Array, dtype=jnp.float32) -> jax.Array:
     return w.astype(dtype)
 
 
+def permute_rows(qt: QTensor, perm: np.ndarray) -> QTensor:
+    """Permute output rows (axis N). Exact for every kind: quantization is
+    along K, so each row travels with its own scales/bias.
+
+    Used to de-interleave "norm"-rope q/k projections at load time so the
+    whole engine runs split-half ("neox") rotation — the form a Pallas
+    kernel can apply with a lane-dim concat instead of a lane interleave
+    (model/loader.py deinterleave_rope)."""
+    idx = jnp.asarray(perm, jnp.int32)
+    return QTensor(
+        qs=qt.qs[idx],
+        scale=qt.scale[idx] if qt.scale is not None else None,
+        bias=qt.bias[idx] if qt.bias is not None else None,
+        kind=qt.kind, group=qt.group, shape=qt.shape, perm=qt.perm,
+    )
+
+
 # Pallas kernel hook: set by kernels/dequant_matmul.py when running on TPU.
 _PALLAS_QMATMUL = None
 

@@ -88,6 +88,17 @@ class EngineRegistry:
             # reference force-enables flash attention for quantized KV
             # (llama_engine.cc:639-647)
             flash_attn = True
+        if flash_attn:
+            import jax
+
+            if jax.devices()[0].platform == "tpu":
+                from ..kernels import flash_attention as _fa
+
+                _fa.enable()
+            else:
+                log.info("flash_attn requested on %s: keeping XLA attention"
+                         " (Pallas kernels are TPU-targeted)",
+                         jax.devices()[0].platform)
 
         n_ctx = int(body.get("ctx_len", 2048))
         n_parallel = int(body.get("n_parallel", 1))
