@@ -7,9 +7,9 @@ import numpy as np
 import pytest
 
 from tpu_engine.kernels.flash_attention import flash_attention
-from tpu_engine.kvcache.cache import quantize_kv_rows
+from tpu_engine.kvcache.cache import KVCache, quantize_kv_rows
 from tpu_engine.model.config import ModelConfig
-from tpu_engine.model.llama import attention_reference
+from tpu_engine.model.llama import apply_rope, attention_reference, self_extend_pos
 
 RNG = np.random.default_rng(5)
 
@@ -24,33 +24,44 @@ def mk_cfg(H=4, KH=2, D=64, softcap=0.0):
 
 
 def mk_case(cfg, B, Tc, T, kind="f32", starts=None):
-    """Build one layer's cache planes; slot b holds starts[b]+Tc cells."""
+    """Build a 1-layer cache (history only, slot b holds starts[b] cells)
+    plus this step's in-flight K/V rows (deferred-append design)."""
     H, KH, D = cfg.n_head, cfg.n_kv_head, cfg.head_dim
     q = jnp.asarray(RNG.normal(size=(B, Tc, H, D)), jnp.float32)
-    k = jnp.asarray(RNG.normal(size=(B, KH, T, D)), jnp.float32)
-    v = jnp.asarray(RNG.normal(size=(B, KH, T, D)), jnp.float32)
+    k = jnp.asarray(RNG.normal(size=(1, B, KH, T, D)), jnp.float32)
+    v = jnp.asarray(RNG.normal(size=(1, B, KH, T, D)), jnp.float32)
     if starts is None:
         starts = [max(0, T - Tc - 3 * i) for i in range(B)]
     q_pos = jnp.asarray([[s + t for t in range(Tc)] for s in starts], jnp.int32)
+    lengths = jnp.asarray(starts, jnp.int32)
     if kind in ("q8_0", "q4_0"):
         kc, ks = quantize_kv_rows(k, kind)
         vc, vs = quantize_kv_rows(v, kind)
-        planes = (kc, vc, ks, vs)
+        cache = KVCache(kc, vc, lengths, ks, vs, kind)
     else:
-        planes = (k, v, None, None)
-    return q, (planes, kind), q_pos
+        cache = KVCache(k, v, lengths, kind=kind)
+    # in-flight rows: rotate K by the step positions (model/llama.py does
+    # this before calling the hook)
+    kn = jnp.asarray(RNG.normal(size=(B, Tc, KH, D)), jnp.float32)
+    vn = jnp.asarray(RNG.normal(size=(B, Tc, KH, D)), jnp.float32)
+    kn_rot = jnp.swapaxes(
+        apply_rope(kn, self_extend_pos(q_pos, jnp.int32(1), jnp.int32(0)), cfg),
+        1, 2)  # [B, KH, Tc, D]
+    return q, (cache, kn_rot, jnp.swapaxes(vn, 1, 2)), q_pos
 
 
-def run_both(cfg, q, case, q_pos, ga_n=1, ga_w=0, slot_ids=None):
-    (k, v, ks, vs), kind = case
-    B = q.shape[0]
+def run_both(cfg, q, case, q_pos, ga_n=1, ga_w=0, slot_ids=None, n_valid=None):
+    cache, kn, vn = case
+    B, Tc = q.shape[0], q.shape[1]
     if slot_ids is None:
         slot_ids = jnp.arange(B, dtype=jnp.int32)
+    if n_valid is None:
+        n_valid = jnp.full((B,), Tc, jnp.int32)
     ga_n, ga_w = jnp.int32(ga_n), jnp.int32(ga_w)
-    ref = attention_reference(q, k, v, ks, vs, kind, slot_ids, q_pos, cfg,
-                              ga_n, ga_w)
-    got = flash_attention(q, k, v, ks, vs, kind, slot_ids, q_pos, cfg,
-                          ga_n, ga_w)
+    ref = attention_reference(q, cache, 0, slot_ids, q_pos, n_valid, kn, vn,
+                              cfg, ga_n, ga_w)
+    got = flash_attention(q, cache, 0, slot_ids, q_pos, n_valid, kn, vn,
+                          cfg, ga_n, ga_w)
     return np.asarray(ref), np.asarray(got)
 
 

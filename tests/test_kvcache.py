@@ -79,10 +79,12 @@ def test_forward_quality(tiny, kind, min_cos):
     assert cache.kind == kind and int(cache.lengths[0]) == len(PROMPT)
 
 
-@pytest.mark.parametrize("kind", ["q8_0", "q4_0"])
-def test_decode_steps_quantized(tiny, kind):
+@pytest.mark.parametrize("kind,min_cos", [("q8_0", 0.999), ("q4_0", 0.99)])
+def test_decode_steps_quantized(tiny, kind, min_cos):
     """Greedy decode over a quantized cache runs and matches its own
-    full-prefill logits (internal consistency of append + gather)."""
+    full-prefill logits. Exact equality is not expected: attention reads
+    the step's own tokens in-flight at full precision (deferred append),
+    so full prefill sees more unquantized history than stepwise decode."""
     lm = tiny
     full = PROMPT + [290, 291]
     logits_full, _, _ = forward_step(
@@ -100,7 +102,7 @@ def test_decode_steps_quantized(tiny, kind):
         )
     a, b = np.asarray(logits_step)[0], np.asarray(logits_full)[0]
     cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
-    assert cos > 0.999, cos
+    assert cos > min_cos, cos
 
 
 @pytest.mark.parametrize("kind", ["q8_0", "q4_0"])

@@ -122,25 +122,22 @@ def shard_weights(weights: dict, mesh: Mesh) -> dict:
 
 
 def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
-    """KV cache (per-layer [S, KH, T, D]): slots on "data", kv-heads on
-    "model"."""
+    """KV cache [L, S, KH, T, D]: slots on "data", kv-heads on "model"."""
     n_model = mesh.shape["model"]
     n_data = mesh.shape["data"]
-    s, kh = cache.k[0].shape[0], cache.k[0].shape[1]
+    s, kh = cache.k.shape[1], cache.k.shape[2]
     head_ax = "model" if kh % max(n_model, 1) == 0 and n_model > 1 else None
     slot_ax = "data" if s % max(n_data, 1) == 0 and n_data > 1 else None
-    spec = P(slot_ax, head_ax, None, None)
-    sc_spec = P(slot_ax, head_ax, None)
+    spec = P(None, slot_ax, head_ax, None, None)
+    sc_spec = P(None, slot_ax, head_ax, None)
 
-    def put(arrs, sp):
-        if arrs is None:
-            return None
-        return tuple(jax.device_put(a, NamedSharding(mesh, sp)) for a in arrs)
+    def put(arr, sp):
+        return jax.device_put(arr, NamedSharding(mesh, sp)) if arr is not None else None
 
     return KVCache(
         k=put(cache.k, spec),
         v=put(cache.v, spec),
-        lengths=jax.device_put(cache.lengths, NamedSharding(mesh, P(None))),
+        lengths=put(cache.lengths, P(None)),
         k_scale=put(cache.k_scale, sc_spec),
         v_scale=put(cache.v_scale, sc_spec),
         kind=cache.kind,

@@ -12,14 +12,18 @@ attention"). Two kernels:
           head to feed the MXU without merging.
 
 TPU-first design points:
-  - The kernel reads the layer's WHOLE cache array [S, KH, T, D] with the
-    slot ids as scalar-prefetch arguments — no per-slot gather copy of the
-    cache ever materializes, and every layer shares one compiled kernel
-    (identical shapes).
+  - DEFERRED APPEND (kvcache/cache.py): the cache holds only history
+    (cells < start); the step's own K/V rows arrive as small in-flight
+    operands (K pre-rotated outside) and fold into the online softmax at
+    each row's last kv block.
+  - The kernel reads the WHOLE cache array [L, S, KH, T, D] with the layer
+    index and slot ids as scalar-prefetch arguments — no gather copy of
+    the cache ever materializes, and every layer shares one compiled
+    kernel.
   - KV cells stream from HBM in their STORED form (bf16/f32, q8_0 int8 +
     row scale, q4_0 split-half nibbles) and dequantize in VMEM — a
     materialized full-precision cache never exists.
-  - K rows are stored unrotated (kvcache/cache.py invariant); rotation
+  - K history is stored unrotated (kvcache/cache.py invariant); rotation
     happens here from precomputed cos/sin tables indexed by cell (the
     self-extend ga_n/ga_w remap is baked into the tables, which XLA CSEs
     across layers). All models run split-half "neox" rotation:
@@ -27,9 +31,9 @@ TPU-first design points:
     deinterleave_rope_perm), so the rotate is two lane-dim halves, never
     a lane interleave.
   - per-(row, q-block) valid-length clamp via scalar prefetch: kv blocks
-    past the causal frontier map to the previous block index (no new DMA)
-    and skip all compute — decode cost scales with the ACTUAL context
-    length, not the allocated max_len.
+    past the history frontier map to the previous block index (no new
+    DMA) and skip all compute — decode cost scales with the ACTUAL
+    context length, not the allocated max_len.
 """
 
 from __future__ import annotations
@@ -101,13 +105,19 @@ def _online_update(s, vf, acc_ref, m_ref, l_ref):
     m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
 
 
+def _softcap(s, cfg: ModelConfig):
+    if cfg.attn_logit_softcap > 0:
+        return jnp.tanh(s / cfg.attn_logit_softcap) * cfg.attn_logit_softcap
+    return s
+
+
 # --------------------------------------------------------------------------
 # decode kernel (Tc = 1): heads merged
 # --------------------------------------------------------------------------
 
 def _decode_kernel(
-    slots_ref, starts_ref, ends_ref,  # scalar prefetch (SMEM)
-    q_ref, k_ref, v_ref, cos_ref, sin_ref, ks_ref, vs_ref,  # VMEM blocks
+    li_ref, slots_ref, starts_ref,  # scalar prefetch (SMEM)
+    q_ref, kn_ref, vn_ref, k_ref, v_ref, cos_ref, sin_ref, ks_ref, vs_ref,
     out_ref,
     acc_ref, m_ref, l_ref,
     *, cfg: ModelConfig, kind: str, G: int, Tblk: int, n_kb: int,
@@ -120,8 +130,8 @@ def _decode_kernel(
     RQ = acc_ref.shape[0]
     C = KH * Tblk
 
-    end = ends_ref[b]
-    last_kb = jnp.maximum((end + Tblk - 1) // Tblk - 1, 0)
+    start = starts_ref[b]  # history length; cells < start are valid
+    last_kb = jnp.maximum((start + Tblk - 1) // Tblk - 1, 0)
 
     @pl.when(kb == 0)
     def _():
@@ -135,29 +145,47 @@ def _decode_kernel(
         if RQ != H:
             qx = jnp.pad(qx, ((0, RQ - H), (0, 0)))
 
-        # [KH, Tblk, Dk] -> [KH*Tblk, Dk]; flat row c: head c//Tblk, cell
-        # kb*Tblk + c%Tblk. Tables tile along the head repeats.
-        kcells = k_ref[0].reshape(C, k_ref.shape[-1])
-        vcells = v_ref[0].reshape(C, v_ref.shape[-1])
-        ks = ks_ref[0].reshape(C, 1) if ks_ref is not None else None
-        vs = vs_ref[0].reshape(C, 1) if vs_ref is not None else None
-        cos = pltpu.repeat(cos_ref[:], KH, axis=0) if KH > 1 else cos_ref[:]
-        sin = pltpu.repeat(sin_ref[:], KH, axis=0) if KH > 1 else sin_ref[:]
-        kf = _rotate(_dequant_block(kcells, ks, kind), cos, sin, cfg)
-        vf = _dequant_block(vcells, vs, kind)
+        @pl.when(start > 0)
+        def _():
+            # [KH, Tblk, Dk] -> [KH*Tblk, Dk]; flat row c: head c//Tblk,
+            # cell kb*Tblk + c%Tblk. Tables tile along the head repeats.
+            kcells = k_ref[0].reshape(C, k_ref.shape[-1])
+            vcells = v_ref[0].reshape(C, v_ref.shape[-1])
+            ks = ks_ref[0].reshape(C, 1) if ks_ref is not None else None
+            vs = vs_ref[0].reshape(C, 1) if vs_ref is not None else None
+            cos = pltpu.repeat(cos_ref[:], KH, axis=0) if KH > 1 else cos_ref[:]
+            sin = pltpu.repeat(sin_ref[:], KH, axis=0) if KH > 1 else sin_ref[:]
+            kf = _rotate(_dequant_block(kcells, ks, kind), cos, sin, cfg)
+            vf = _dequant_block(vcells, vs, kind)
 
-        s = jax.lax.dot_general(
-            qx, kf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (1.0 / math.sqrt(D))
-        if cfg.attn_logit_softcap > 0:
-            s = jnp.tanh(s / cfg.attn_logit_softcap) * cfg.attn_logit_softcap
+            s = jax.lax.dot_general(
+                qx, kf, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * (1.0 / math.sqrt(D))
+            s = _softcap(s, cfg)
 
-        row_head = jax.lax.broadcasted_iota(jnp.int32, (RQ, C), 0) // G
-        col_flat = jax.lax.broadcasted_iota(jnp.int32, (RQ, C), 1)
-        ok = (row_head == col_flat // Tblk) & (kb * Tblk + col_flat % Tblk < end)
-        s = jnp.where(ok, s, NEG_INF)
+            row_head = jax.lax.broadcasted_iota(jnp.int32, (RQ, C), 0) // G
+            col_flat = jax.lax.broadcasted_iota(jnp.int32, (RQ, C), 1)
+            ok = (row_head == col_flat // Tblk) & (
+                kb * Tblk + col_flat % Tblk < start
+            )
+            s = jnp.where(ok, s, NEG_INF)
+            _online_update(s, vf, acc_ref, m_ref, l_ref)
 
-        _online_update(s, vf, acc_ref, m_ref, l_ref)
+        @pl.when(kb == last_kb)
+        def _():
+            # fold in the step's own (in-flight, pre-rotated) K/V row
+            kn = kn_ref[0, :, 0].astype(jnp.float32)  # [KH, D]
+            vn = vn_ref[0, :, 0].astype(jnp.float32)
+            s_new = jax.lax.dot_general(
+                qx, kn, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * (1.0 / math.sqrt(D))
+            s_new = _softcap(s_new, cfg)
+            row_head = jax.lax.broadcasted_iota(jnp.int32, (RQ, KH), 0) // G
+            col = jax.lax.broadcasted_iota(jnp.int32, (RQ, KH), 1)
+            s_new = jnp.where(row_head == col, s_new, NEG_INF)
+            _online_update(s_new, vn, acc_ref, m_ref, l_ref)
 
     @pl.when(kb == n_kb - 1)
     def _():
@@ -166,12 +194,14 @@ def _decode_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "kind", "interpret"))
-def _decode_call(q5, k_all, v_all, ks_all, vs_all, slots, starts, ends, ga,
+def _decode_call(q5, k_new, v_new, k_all, v_all, ks_all, vs_all,
+                 li, slots, starts, ga,
                  *, cfg: ModelConfig, kind: str, interpret: bool):
-    """q5 [B, 1, KH, G, D]; k/v [S, KH, T, Dk]; scales [S, KH, T]|None."""
+    """q5 [B, 1, KH, G, D]; k/v_new [B, KH, 1, D] rotated in-flight rows;
+    cache k/v [L, S, KH, T, Dk]; scales [L, S, KH, T]|None."""
     B, _, KH, G, D = q5.shape
-    T = k_all.shape[2]
-    Dk = k_all.shape[3]
+    T = k_all.shape[3]
+    Dk = k_all.shape[4]
 
     # budget the merged score axis C = KH*Tblk so dequantized f32 blocks
     # (C x D) stay ~1 MB regardless of storage dtype
@@ -187,43 +217,48 @@ def _decode_call(q5, k_all, v_all, ks_all, vs_all, slots, starts, ends, ga,
     def q_map(b, kb, *_):
         return (b, 0, 0, 0, 0)
 
-    def clamp(b, kb, ends):
-        return jnp.minimum(kb, jnp.maximum((ends[b] + Tblk - 1) // Tblk - 1, 0))
+    def new_map(b, kb, *_):
+        return (b, 0, 0, 0)
 
-    def kv_map(b, kb, slots, starts, ends):
-        return (slots[b], 0, clamp(b, kb, ends), 0)
+    def clamp(b, kb, starts):
+        return jnp.minimum(kb, jnp.maximum((starts[b] + Tblk - 1) // Tblk - 1, 0))
 
-    def tab_map(b, kb, slots, starts, ends):
-        return (clamp(b, kb, ends), 0)
+    def kv_map(b, kb, li, slots, starts):
+        return (li[0], slots[b], 0, clamp(b, kb, starts), 0)
+
+    def tab_map(b, kb, li, slots, starts):
+        return (clamp(b, kb, starts), 0)
 
     in_specs = [
         pl.BlockSpec((1, 1, KH, G, D), q_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, KH, Tblk, Dk), kv_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, KH, Tblk, Dk), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, KH, 1, D), new_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, KH, 1, D), new_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, KH, Tblk, Dk), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, KH, Tblk, Dk), kv_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((Tblk, cfg.rope_dim // 2), tab_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((Tblk, cfg.rope_dim // 2), tab_map, memory_space=pltpu.VMEM),
     ]
-    args = [q5, k_all, v_all, cos_t, sin_t]
+    args = [q5, k_new, v_new, k_all, v_all, cos_t, sin_t]
     if ks_all is not None:
         in_specs += [
-            pl.BlockSpec((1, KH, Tblk, 1), kv_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, KH, Tblk, 1), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, KH, Tblk, 1), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, KH, Tblk, 1), kv_map, memory_space=pltpu.VMEM),
         ]
         args += [ks_all[..., None], vs_all[..., None]]
         kernel = _decode_kernel
     else:
-        kernel = lambda sl, st, en, q, k, v, co, si, o, a, m, l, **kw: \
-            _decode_kernel(sl, st, en, q, k, v, co, si, None, None,
+        kernel = lambda li, sl, st, q, kn, vn, k, v, co, si, o, a, m, l, **kw: \
+            _decode_kernel(li, sl, st, q, kn, vn, k, v, co, si, None, None,
                            o, a, m, l, **kw)
 
     if T != Tpad:
-        pad = [(0, 0)] * 4
-        pad[2] = (0, Tpad - T)
-        args[1] = jnp.pad(args[1], pad)
-        args[2] = jnp.pad(args[2], pad)
+        pad = [(0, 0)] * 5
+        pad[3] = (0, Tpad - T)
+        args[3] = jnp.pad(args[3], pad)
+        args[4] = jnp.pad(args[4], pad)
         if ks_all is not None:
-            args[5] = jnp.pad(args[5], pad)
-            args[6] = jnp.pad(args[6], pad)
+            args[7] = jnp.pad(args[7], pad)
+            args[8] = jnp.pad(args[8], pad)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -241,7 +276,7 @@ def _decode_call(q5, k_all, v_all, ks_all, vs_all, slots, starts, ends, ga,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(q5.shape, q5.dtype),
         interpret=interpret,
-    )(slots, starts, ends, *args)
+    )(jnp.asarray([li], jnp.int32), slots, starts, *args)
 
 
 # --------------------------------------------------------------------------
@@ -249,8 +284,8 @@ def _decode_call(q5, k_all, v_all, ks_all, vs_all, slots, starts, ends, ga,
 # --------------------------------------------------------------------------
 
 def _prefill_kernel(
-    slots_ref, starts_ref, ends_ref,  # scalar prefetch (SMEM)
-    q_ref, k_ref, v_ref, cos_ref, sin_ref, ks_ref, vs_ref,
+    li_ref, slots_ref, starts_ref, nv_ref,  # scalar prefetch (SMEM)
+    q_ref, kn_ref, vn_ref, k_ref, v_ref, cos_ref, sin_ref, ks_ref, vs_ref,
     out_ref,
     acc_ref, m_ref, l_ref,
     *, cfg: ModelConfig, kind: str, G: int, Qblk: int, Tblk: int, n_kb: int,
@@ -261,10 +296,10 @@ def _prefill_kernel(
     D = cfg.head_dim
     rows = Qblk * G
     RQ = acc_ref.shape[0]
+    Tc = kn_ref.shape[2]
 
-    start, end = starts_ref[b], ends_ref[b]
-    frontier = jnp.minimum(end, start + (qb + 1) * Qblk)  # causal + length
-    last_kb = jnp.maximum((frontier + Tblk - 1) // Tblk - 1, 0)
+    start = starts_ref[b]  # history length; cells < start are valid
+    last_kb = jnp.maximum((start + Tblk - 1) // Tblk - 1, 0)
 
     @pl.when(kb == 0)
     def _():
@@ -278,26 +313,38 @@ def _prefill_kernel(
         if RQ != rows:
             qx = jnp.pad(qx, ((0, RQ - rows), (0, 0)))
 
-        ks = ks_ref[0, 0] if ks_ref is not None else None  # [Tblk, 1]
-        vs = vs_ref[0, 0] if vs_ref is not None else None
-        kf = _rotate(_dequant_block(k_ref[0, 0], ks, kind),
-                     cos_ref[:], sin_ref[:], cfg)
-        vf = _dequant_block(v_ref[0, 0], vs, kind)
+        @pl.when(start > 0)
+        def _():
+            ks = ks_ref[0, 0, 0] if ks_ref is not None else None  # [Tblk, 1]
+            vs = vs_ref[0, 0, 0] if vs_ref is not None else None
+            kf = _rotate(_dequant_block(k_ref[0, 0, 0], ks, kind),
+                         cos_ref[:], sin_ref[:], cfg)
+            vf = _dequant_block(v_ref[0, 0, 0], vs, kind)
 
-        s = jax.lax.dot_general(
-            qx, kf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (1.0 / math.sqrt(D))
-        if cfg.attn_logit_softcap > 0:
-            s = jnp.tanh(s / cfg.attn_logit_softcap) * cfg.attn_logit_softcap
+            s = jax.lax.dot_general(
+                qx, kf, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * (1.0 / math.sqrt(D))
+            s = _softcap(s, cfg)
+            col = kb * Tblk + jax.lax.broadcasted_iota(jnp.int32, (RQ, Tblk), 1)
+            s = jnp.where(col < start, s, NEG_INF)
+            _online_update(s, vf, acc_ref, m_ref, l_ref)
 
-        # causal mask: cell <= q_pos(row); q_pos = start + qb*Qblk + row//G
-        row_pos = start + qb * Qblk + (
-            jax.lax.broadcasted_iota(jnp.int32, (RQ, Tblk), 0) // G
-        )
-        col = kb * Tblk + jax.lax.broadcasted_iota(jnp.int32, (RQ, Tblk), 1)
-        s = jnp.where(col <= row_pos, s, NEG_INF)
-
-        _online_update(s, vf, acc_ref, m_ref, l_ref)
+        @pl.when(kb == last_kb)
+        def _():
+            # in-flight block: causal within the chunk + n_valid mask
+            kn = kn_ref[0, 0].astype(jnp.float32)  # [Tc, D] (pre-rotated)
+            vn = vn_ref[0, 0].astype(jnp.float32)
+            s_new = jax.lax.dot_general(
+                qx, kn, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * (1.0 / math.sqrt(D))
+            s_new = _softcap(s_new, cfg)
+            row_t = qb * Qblk + jax.lax.broadcasted_iota(jnp.int32, (RQ, Tc), 0) // G
+            col_t = jax.lax.broadcasted_iota(jnp.int32, (RQ, Tc), 1)
+            ok = (col_t <= row_t) & (col_t < nv_ref[b])
+            s_new = jnp.where(ok, s_new, NEG_INF)
+            _online_update(s_new, vn, acc_ref, m_ref, l_ref)
 
     @pl.when(kb == n_kb - 1)
     def _():
@@ -306,12 +353,13 @@ def _prefill_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "kind", "interpret"))
-def _prefill_call(q5, k_all, v_all, ks_all, vs_all, slots, starts, ends, ga,
+def _prefill_call(q5, k_new, v_new, k_all, v_all, ks_all, vs_all,
+                  li, slots, starts, n_valid, ga,
                   *, cfg: ModelConfig, kind: str, interpret: bool):
-    """q5 [B, Tc, KH, G, D]; cache arrays as in _decode_call."""
+    """q5 [B, Tc, KH, G, D]; k/v_new [B, KH, Tc, D]; cache as _decode_call."""
     B, Tc, KH, G, D = q5.shape
-    T = k_all.shape[2]
-    Dk = k_all.shape[3]
+    T = k_all.shape[3]
+    Dk = k_all.shape[4]
 
     Tblk = min(_round_up(T, 128), 512)
     n_kb = pl.cdiv(T, Tblk)
@@ -327,47 +375,51 @@ def _prefill_call(q5, k_all, v_all, ks_all, vs_all, slots, starts, ends, ga,
     def q_map(b, kh, qb, kb, *_):
         return (b, qb, kh, 0, 0)
 
-    def clamp_kb(b, qb, kb, starts, ends):
-        frontier = jnp.minimum(ends[b], starts[b] + (qb + 1) * Qblk)
-        return jnp.minimum(kb, jnp.maximum((frontier + Tblk - 1) // Tblk - 1, 0))
+    def new_map(b, kh, qb, kb, *_):
+        return (b, kh, 0, 0)
 
-    def kv_map(b, kh, qb, kb, slots, starts, ends):
-        return (slots[b], kh, clamp_kb(b, qb, kb, starts, ends), 0)
+    def clamp_kb(b, kb, starts):
+        return jnp.minimum(kb, jnp.maximum((starts[b] + Tblk - 1) // Tblk - 1, 0))
 
-    def tab_map(b, kh, qb, kb, slots, starts, ends):
-        return (clamp_kb(b, qb, kb, starts, ends), 0)
+    def kv_map(b, kh, qb, kb, li, slots, starts, nv):
+        return (li[0], slots[b], kh, clamp_kb(b, kb, starts), 0)
+
+    def tab_map(b, kh, qb, kb, li, slots, starts, nv):
+        return (clamp_kb(b, kb, starts), 0)
 
     in_specs = [
         pl.BlockSpec((1, Qblk, 1, G, D), q_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, Tblk, Dk), kv_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, Tblk, Dk), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Tc, D), new_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Tc, D), new_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, Tblk, Dk), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, Tblk, Dk), kv_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((Tblk, cfg.rope_dim // 2), tab_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((Tblk, cfg.rope_dim // 2), tab_map, memory_space=pltpu.VMEM),
     ]
-    args = [q5, k_all, v_all, cos_t, sin_t]
+    args = [q5, k_new, v_new, k_all, v_all, cos_t, sin_t]
     if ks_all is not None:
         in_specs += [
-            pl.BlockSpec((1, 1, Tblk, 1), kv_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Tblk, 1), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, Tblk, 1), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, Tblk, 1), kv_map, memory_space=pltpu.VMEM),
         ]
         args += [ks_all[..., None], vs_all[..., None]]
         kernel = _prefill_kernel
     else:
-        kernel = lambda sl, st, en, q, k, v, co, si, o, a, m, l, **kw: \
-            _prefill_kernel(sl, st, en, q, k, v, co, si, None, None,
+        kernel = lambda li, sl, st, nv, q, kn, vn, k, v, co, si, o, a, m, l, **kw: \
+            _prefill_kernel(li, sl, st, nv, q, kn, vn, k, v, co, si, None, None,
                             o, a, m, l, **kw)
 
     if T != Tpad:
-        pad = [(0, 0)] * 4
-        pad[2] = (0, Tpad - T)
-        args[1] = jnp.pad(args[1], pad)
-        args[2] = jnp.pad(args[2], pad)
+        pad = [(0, 0)] * 5
+        pad[3] = (0, Tpad - T)
+        args[3] = jnp.pad(args[3], pad)
+        args[4] = jnp.pad(args[4], pad)
         if ks_all is not None:
-            args[5] = jnp.pad(args[5], pad)
-            args[6] = jnp.pad(args[6], pad)
+            args[7] = jnp.pad(args[7], pad)
+            args[8] = jnp.pad(args[8], pad)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(B, KH, n_qb, n_kb),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, Qblk, 1, G, D), q_map, memory_space=pltpu.VMEM),
@@ -383,28 +435,34 @@ def _prefill_call(q5, k_all, v_all, ks_all, vs_all, slots, starts, ends, ga,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(q5.shape, q5.dtype),
         interpret=interpret,
-    )(slots, starts, ends, *args)
+    )(jnp.asarray([li], jnp.int32), slots, starts, n_valid, *args)
 
 
 _INTERPRET = False
 
 
-def flash_attention(q, k_l, v_l, ks_l, vs_l, kv_kind, slot_ids, q_pos, cfg,
-                    ga_n, ga_w):
+def flash_attention(q, cache, li, slot_ids, q_pos, n_valid, k_new, v_new,
+                    cfg, ga_n, ga_w):
     """Drop-in for model.llama.attention_reference (the _ATTN_IMPL hook)."""
     B, Tc, H, D = q.shape
     KH = cfg.n_kv_head
     G = H // KH
     q5 = q.reshape(B, Tc, KH, G, D)
     starts = q_pos[:, 0].astype(jnp.int32)
-    ends = (q_pos[:, -1] + 1).astype(jnp.int32)
     ga = jnp.stack([jnp.asarray(ga_n, jnp.int32), jnp.asarray(ga_w, jnp.int32)])
-    call = _decode_call if Tc == 1 else _prefill_call
-    out = call(
-        q5, k_l, v_l, ks_l, vs_l,
-        slot_ids.astype(jnp.int32), starts, ends, ga,
-        cfg=cfg, kind=kv_kind, interpret=_INTERPRET,
-    )
+    if Tc == 1:
+        out = _decode_call(
+            q5, k_new, v_new, cache.k, cache.v, cache.k_scale, cache.v_scale,
+            li, slot_ids.astype(jnp.int32), starts, ga,
+            cfg=cfg, kind=cache.kind, interpret=_INTERPRET,
+        )
+    else:
+        out = _prefill_call(
+            q5, k_new, v_new, cache.k, cache.v, cache.k_scale, cache.v_scale,
+            li, slot_ids.astype(jnp.int32), starts,
+            n_valid.astype(jnp.int32), ga,
+            cfg=cfg, kind=cache.kind, interpret=_INTERPRET,
+        )
     return out.reshape(B, Tc, H, D)
 
 

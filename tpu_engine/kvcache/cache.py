@@ -15,13 +15,15 @@ RoPE is applied inside attention using the cell index, so that:
     upstream llama.cpp's K-shift graph)
   - self-extend          == position remap at attention time (no cache op)
 
-Storage is a TUPLE of per-layer arrays [S, KH, T, D] (not one [L, ...]
-array): appends are per-layer in the forward loop, and XLA only elides the
-copy of a functional update when the operand is the layer being written —
-a single stacked array made every layer's append copy the WHOLE cache
-(measured 100+ ms/step at 4k ctx). Appends use lax.dynamic_update_slice
-(cells are always the contiguous range [lengths[s], lengths[s]+Tc)), the
-pattern XLA reliably updates in place.
+**Deferred append.** The forward step does NOT write to the cache inside
+the layer loop: attention consumes the step's new K/V rows as separate
+"in-flight" operands, the per-layer rows are stacked, and append_step
+writes them all with ONE read-modify-write dynamic_update_slice per slot
+spanning every layer. Rationale (measured on chip): a scatter over the
+cache copied the whole cache every layer (100+ ms/step at 4k ctx), and
+per-layer DUS writes cost ~350 small device ops per step (~20 us fixed
+overhead each on this runtime). One L-spanning DUS per slot is in-place
+and O(slots) ops per step.
 
 Quantized KV storage mirrors the reference's cache_type_k/v ∈ {f16, q8_0,
 q4_0} (llama_engine.cc:628-637, validated at :25-47). The TPU-native
@@ -49,11 +51,11 @@ KV_KINDS = ("f32", "f16", "q8_0", "q4_0")
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class KVCache:
-    k: tuple  # per layer: [S, KH, T, D] (compute dtype; int8/uint8-packed when quantized)
-    v: tuple  # per layer: [S, KH, T, D]  (q4_0: [..., D//2])
+    k: jax.Array  # [L, S, KH, T, D] (compute dtype; int8/uint8-packed when quantized)
+    v: jax.Array  # [L, S, KH, T, D]  (q4_0: [..., D//2])
     lengths: jax.Array  # [S] int32: occupied cells per slot
-    k_scale: tuple | None = None  # per layer: [S, KH, T] f32 when quantized
-    v_scale: tuple | None = None
+    k_scale: jax.Array | None = None  # [L, S, KH, T] f32 when quantized
+    v_scale: jax.Array | None = None
     kind: str = "f32"  # static: one of KV_KINDS
 
     def tree_flatten(self):
@@ -65,15 +67,15 @@ class KVCache:
 
     @property
     def n_layer(self) -> int:
-        return len(self.k)
+        return self.k.shape[0]
 
     @property
     def n_slots(self) -> int:
-        return self.k[0].shape[0]
+        return self.k.shape[1]
 
     @property
     def max_len(self) -> int:
-        return self.k[0].shape[2]
+        return self.k.shape[3]
 
     @property
     def quantized(self) -> bool:
@@ -94,28 +96,27 @@ def new_cache(
         kind = "q8_0" if quantized else ("f32" if dtype == jnp.float32 else "f16")
     if kind not in KV_KINDS:
         raise ValueError(f"kv cache kind {kind!r} not in {KV_KINDS}")
-    shape = (n_slots, n_kv_head, max_len, head_dim)
+    shape = (n_layer, n_slots, n_kv_head, max_len, head_dim)
     lengths = jnp.zeros((n_slots,), jnp.int32)
     if kind in ("q8_0", "q4_0"):
         if kind == "q4_0":
             if head_dim % 2:
                 raise ValueError("q4_0 KV needs even head_dim")
-            cells = lambda: jnp.zeros(shape[:-1] + (head_dim // 2,), jnp.uint8)
+            cshape, cdt = shape[:-1] + (head_dim // 2,), jnp.uint8
         else:
-            cells = lambda: jnp.zeros(shape, jnp.int8)
-        sc = lambda: jnp.zeros(shape[:-1], jnp.float32)
+            cshape, cdt = shape, jnp.int8
         return KVCache(
-            k=tuple(cells() for _ in range(n_layer)),
-            v=tuple(cells() for _ in range(n_layer)),
+            k=jnp.zeros(cshape, cdt),
+            v=jnp.zeros(cshape, cdt),
             lengths=lengths,
-            k_scale=tuple(sc() for _ in range(n_layer)),
-            v_scale=tuple(sc() for _ in range(n_layer)),
+            k_scale=jnp.zeros(shape[:-1], jnp.float32),
+            v_scale=jnp.zeros(shape[:-1], jnp.float32),
             kind=kind,
         )
     cdtype = jnp.bfloat16 if kind == "f16" else dtype
     return KVCache(
-        k=tuple(jnp.zeros(shape, cdtype) for _ in range(n_layer)),
-        v=tuple(jnp.zeros(shape, cdtype) for _ in range(n_layer)),
+        k=jnp.zeros(shape, cdtype),
+        v=jnp.zeros(shape, cdtype),
         lengths=lengths,
         kind=kind,
     )
@@ -162,48 +163,61 @@ def dequant_kv(cells: jax.Array, scale: jax.Array | None, kind: str,
     raise ValueError(kind)
 
 
-def append_rows(layer_arr: jax.Array, vals: jax.Array, slot_ids: jax.Array,
-                starts: jax.Array, n_valid: jax.Array, active: jax.Array,
-                ) -> jax.Array:
-    """Write vals [B, Tc, KH, *] into layer_arr [S, KH, T, *]: row b's
-    valid tokens land at cells [starts[b], starts[b]+n_valid[b]) of slot
-    slot_ids[b].
+def _put_slot_windows(arr: jax.Array, vals: jax.Array, slot_ids, starts,
+                      n_valid, active) -> jax.Array:
+    """Write vals [L, B, Tc, KH, *] into arr [L, S, KH, T, *]: row b's valid
+    tokens land at cells [starts[b], starts[b]+n_valid[b]) of slot
+    slot_ids[b], across ALL layers in one dynamic_update_slice per slot.
 
-    One read-modify-write dynamic_update_slice per row — the pattern XLA
-    keeps in place (a scatter over a stacked cache array copied the whole
-    cache per layer). The window start clamps to T-Tc when the padded
-    window would cross the end of the cache (the valid tokens themselves
-    always fit — engine invariant n_past + n_valid <= T): vals roll right
-    by the clamp distance and displaced window positions keep their old
-    cells, as do pad tokens and inactive rows."""
-    B, Tc = vals.shape[0], vals.shape[1]
-    T = layer_arr.shape[2]
-    is_scale = vals.ndim == 3  # scale planes [B, Tc, KH]
-    sizes = (1, layer_arr.shape[1], Tc) + ((() if is_scale else (layer_arr.shape[3],)))
-    out = layer_arr
+    The window start clamps to T-Tc when the padded window would cross the
+    end (valid tokens always fit — engine invariant lengths + n_valid <=
+    T): vals roll right by the clamp distance, and displaced positions,
+    pad tokens, and inactive rows keep their old cells via a
+    read-modify-write.
+
+    vals arrive with the T axis ALREADY in storage order ([..., KH, Tc, *])
+    so no transpose sits between the new rows and the update — a transpose
+    there makes XLA layout-assign the whole cache to a transposed layout
+    and insert a full-cache relayout copy every step (measured 2.2 ms/step
+    at 4k ctx)."""
+    L, B, Tc = vals.shape[0], vals.shape[1], vals.shape[3]
+    KH, T = arr.shape[2], arr.shape[3]
+    is_scale = vals.ndim == 4  # scale planes [L, B, KH, Tc]
+    sizes = (L, 1, KH, Tc) + (() if is_scale else (arr.shape[4],))
     for b in range(B):
-        s_clamp = jnp.clip(starts[b], 0, max(T - Tc, 0))
-        d = starts[b] - s_clamp  # >= 0
-        val = jnp.roll(vals[b], d, axis=0)  # [Tc, KH, *]
+        s_c = jnp.clip(starts[b], 0, max(T - Tc, 0))
+        d = starts[b] - s_c  # >= 0
+        val = jnp.roll(vals[:, b], d, axis=2)[:, None]  # [L, 1, KH, Tc, *]
         j = jnp.arange(Tc, dtype=jnp.int32)
         ok = active[b] & (j >= d) & (j - d < n_valid[b])
-        pos = (slot_ids[b], 0, s_clamp) if is_scale else (slot_ids[b], 0, s_clamp, 0)
-        old = jax.lax.dynamic_slice(out, pos, sizes)  # [1, KH, Tc, *]
-        mask = ok[None, None, :] if is_scale else ok[None, None, :, None]
-        new = jnp.swapaxes(val, 0, 1)[None].astype(out.dtype)
-        out = jax.lax.dynamic_update_slice(out, jnp.where(mask, new, old), pos)
-    return out
+        pos = (0, slot_ids[b], 0, s_c) + (() if is_scale else (0,))
+        old = jax.lax.dynamic_slice(arr, pos, sizes)
+        mask = ok[None, None, None, :] if is_scale else ok[None, None, None, :, None]
+        arr = jax.lax.dynamic_update_slice(
+            arr, jnp.where(mask, val.astype(arr.dtype), old), pos)
+    return arr
+
+
+def append_step(cache: KVCache, k_rows: jax.Array, v_rows: jax.Array,
+                slot_ids, starts, n_valid, active) -> KVCache:
+    """Append one step's stacked new rows (k/v_rows [L, B, KH, Tc, D],
+    UNROTATED, T axis already in storage order) for all layers at once;
+    quantizes for q8_0/q4_0 kinds. Does NOT update lengths (the forward
+    step owns that)."""
+    if cache.kind in ("q8_0", "q4_0"):
+        kc, ks = quantize_kv_rows(k_rows, cache.kind)
+        vc, vs = quantize_kv_rows(v_rows, cache.kind)
+        k = _put_slot_windows(cache.k, kc, slot_ids, starts, n_valid, active)
+        v = _put_slot_windows(cache.v, vc, slot_ids, starts, n_valid, active)
+        ksc = _put_slot_windows(cache.k_scale, ks, slot_ids, starts, n_valid, active)
+        vsc = _put_slot_windows(cache.v_scale, vs, slot_ids, starts, n_valid, active)
+        return KVCache(k, v, cache.lengths, ksc, vsc, cache.kind)
+    k = _put_slot_windows(cache.k, k_rows, slot_ids, starts, n_valid, active)
+    v = _put_slot_windows(cache.v, v_rows, slot_ids, starts, n_valid, active)
+    return KVCache(k, v, cache.lengths, cache.k_scale, cache.v_scale, cache.kind)
 
 
 # -- seq ops (all jit-able, all metadata/index arithmetic) -------------------
-
-def _map_layers(cache: KVCache, fn):
-    k = tuple(fn(a) for a in cache.k)
-    v = tuple(fn(a) for a in cache.v)
-    ks = tuple(fn(a) for a in cache.k_scale) if cache.k_scale is not None else None
-    vs = tuple(fn(a) for a in cache.v_scale) if cache.v_scale is not None else None
-    return k, v, ks, vs
-
 
 def clear_all(cache: KVCache) -> KVCache:
     """Reference: llama_kv_cache_clear (llama_server_context.cc:287)."""
@@ -227,12 +241,19 @@ def clear_slot(cache: KVCache, slot: jax.Array) -> KVCache:
     return trim(cache, slot, jnp.int32(0))
 
 
+def _map_planes(cache: KVCache, fn):
+    k, v = fn(cache.k), fn(cache.v)
+    ks = fn(cache.k_scale) if cache.k_scale is not None else None
+    vs = fn(cache.v_scale) if cache.v_scale is not None else None
+    return k, v, ks, vs
+
+
 @jax.jit
 def seq_cp(cache: KVCache, src: jax.Array, dst: jax.Array) -> KVCache:
     """Copy slot src's occupied prefix into slot dst (system-prompt
     broadcast, reference llama_server_context.cc:659-662). Copies whole
     rows; the occupied length governs validity."""
-    k, v, ks, vs = _map_layers(cache, lambda a: a.at[dst].set(a[src]))
+    k, v, ks, vs = _map_planes(cache, lambda a: a.at[:, dst].set(a[:, src]))
     lengths = cache.lengths.at[dst].set(cache.lengths[src])
     return KVCache(k, v, lengths, ks, vs, cache.kind)
 
@@ -252,9 +273,9 @@ def shift_compact(cache: KVCache, slot: jax.Array, n_keep: jax.Array,
     src = jnp.minimum(src, T - 1)
 
     def gather_slot(arr):
-        # arr [S, KH, T, ...]: gather the T axis of the picked slot
-        return arr.at[slot].set(arr[slot][:, src])
+        # arr [L, S, KH, T, ...]: gather the T axis of the picked slot
+        return arr.at[:, slot].set(arr[:, slot][:, :, src])
 
-    k, v, ks, vs = _map_layers(cache, gather_slot)
+    k, v, ks, vs = _map_planes(cache, gather_slot)
     lengths = cache.lengths.at[slot].set(cache.lengths[slot] - n_discard)
     return KVCache(k, v, lengths, ks, vs, cache.kind)

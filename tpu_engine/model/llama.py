@@ -21,7 +21,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..kvcache.cache import KVCache, append_rows, dequant_kv, quantize_kv_rows
+from ..kvcache.cache import KVCache, append_step, dequant_kv
 from .config import ModelConfig
 from .weights import QTensor, embed_rows, qmatmul
 
@@ -80,47 +80,61 @@ def _act(x: jax.Array, kind: str) -> jax.Array:
 
 def attention_reference(
     q: jax.Array,  # [B, Tc, H, D] rotated
-    k_l: jax.Array,  # layer cache cells [S, KH, T, Dk]
-    v_l: jax.Array,
-    ks_l: jax.Array | None,  # layer scales [S, KH, T] when quantized
-    vs_l: jax.Array | None,
-    kv_kind: str,
+    cache: KVCache,  # full cache [L, S, KH, T, D*] (DEFERRED: this step's
+    li: int,  #         rows are NOT in it — they arrive as k_new/v_new)
     slot_ids: jax.Array,  # [B] int32
     q_pos: jax.Array,  # [B, Tc] absolute positions of the queries
+    n_valid: jax.Array,  # [B] real tokens per row
+    k_new: jax.Array,  # [B, KH, Tc, D] this step's K rows, ROTATED
+    v_new: jax.Array,  # [B, KH, Tc, D]
     cfg: ModelConfig,
     ga_n: jax.Array,
     ga_w: jax.Array,
 ) -> jax.Array:
-    """Reference (XLA) attention over the slot cache. Returns [B, Tc, H, D].
+    """Reference (XLA) attention over the slot cache + in-flight rows.
+    Returns [B, Tc, H, D].
 
-    Cell index == position (kvcache invariant), so the causal mask is
-    cell_idx <= q_pos and K is rotated here by its (possibly self-extend
-    remapped) cell index. Quantized KV cells (q8_0/q4_0, kvcache/cache.py)
-    are dequantized in f32 before the rotation.
+    Cell index == position (kvcache invariant): cache cells < start =
+    q_pos[:, 0] are valid history (K rotated here by its possibly
+    self-extend-remapped cell index; quantized cells dequantized first);
+    the step's own tokens attend causally within the in-flight block.
     """
-    B = slot_ids.shape[0]
+    B, Tc = q.shape[0], q.shape[1]
     H, KH, D = cfg.n_head, cfg.n_kv_head, cfg.head_dim
     G = H // KH
-    ks = ks_l[slot_ids] if ks_l is not None else None
-    vs = vs_l[slot_ids] if vs_l is not None else None
-    kf = dequant_kv(k_l[slot_ids], ks, kv_kind)  # [B, KH, T, D]
-    vf = dequant_kv(v_l[slot_ids], vs, kv_kind)
+    ks = cache.k_scale[li, slot_ids] if cache.k_scale is not None else None
+    vs = cache.v_scale[li, slot_ids] if cache.v_scale is not None else None
+    kf = dequant_kv(cache.k[li, slot_ids], ks, cache.kind)  # [B, KH, T, D]
+    vf = dequant_kv(cache.v[li, slot_ids], vs, cache.kind)
     T = kf.shape[2]
     cell = jnp.arange(T, dtype=jnp.int32)[None, :].repeat(B, 0)  # [B, T]
     kf = jnp.swapaxes(kf, 1, 2)  # [B, T, KH, D] for apply_rope
     kf = apply_rope(kf, self_extend_pos(cell, ga_n, ga_w), cfg).astype(jnp.float32)
     vf = jnp.swapaxes(vf, 1, 2)
 
-    qf = q.reshape(q.shape[0], q.shape[1], KH, G, D).astype(jnp.float32)
+    # key axis = [T cache cells | Tc in-flight rows]
+    kf = jnp.concatenate([kf, jnp.swapaxes(k_new, 1, 2).astype(jnp.float32)], axis=1)
+    vf = jnp.concatenate([vf, jnp.swapaxes(v_new, 1, 2).astype(jnp.float32)], axis=1)
+
+    qf = q.reshape(B, Tc, KH, G, D).astype(jnp.float32)
     scores = jnp.einsum("btkgd,bukd->btkgu", qf, kf) / jnp.sqrt(D).astype(jnp.float32)
     if cfg.attn_logit_softcap > 0:
         c = cfg.attn_logit_softcap
         scores = jnp.tanh(scores / c) * c
-    mask = cell[:, None, :] <= q_pos[..., None]  # [B, Tc, T]
+    start = q_pos[:, 0]
+    mask_cache = jnp.broadcast_to(
+        cell[:, None, :] < start[:, None, None], (B, Tc, T)
+    )
+    t_rel = jnp.arange(Tc, dtype=jnp.int32)
+    mask_new = (t_rel[None, None, :] <= t_rel[None, :, None]) & (
+        t_rel[None, None, :] < n_valid[:, None, None]
+    )  # [B, Tc(q), Tc(kv)]
+    mask = jnp.concatenate([mask_cache, jnp.broadcast_to(mask_new, (B, Tc, Tc))],
+                           axis=2)
     scores = jnp.where(mask[:, :, None, None, :], scores, NEG_INF)
     p = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("btkgu,bukd->btkgd", p, vf)
-    return out.reshape(B, q.shape[1], H, D).astype(q.dtype)
+    return out.reshape(B, Tc, H, D).astype(q.dtype)
 
 
 # Pallas attention hook (kernels/flash_attention.py installs TPU kernels).
@@ -169,50 +183,46 @@ def _forward(
     if cfg.embedding_scale != 1.0:
         x = x * jnp.asarray(cfg.embedding_scale, dtype)
 
-    k_cache, v_cache = list(cache.k), list(cache.v)
-    k_scale = list(cache.k_scale) if cache.k_scale is not None else None
-    v_scale = list(cache.v_scale) if cache.v_scale is not None else None
+    new_k_rows, new_v_rows = [], []  # per layer, UNROTATED [B, Tc, KH, D]
     hidden_sum = jnp.zeros((B, cfg.n_embd), jnp.float32) if collect_hidden else None
 
     for li in range(cfg.n_layer):
         lw = weights["layers"][li]
         h = rms_norm(x, lw["attn_norm"], cfg.rms_eps)
-        hq = qmatmul(h, lw["wq"])
-        hk = qmatmul(h, lw["wk"])
-        hv = qmatmul(h, lw["wv"])
-        if "bq" in lw:
-            hq = hq + lw["bq"]
-            hk = hk + lw["bk"]
-            hv = hv + lw["bv"]
+        if "wqkv" in lw:  # load-time fused q|k|v (model/loader.py)
+            hqkv = qmatmul(h, lw["wqkv"])
+            if "bqkv" in lw:
+                hqkv = hqkv + lw["bqkv"]
+            hq = hqkv[..., : H * D]
+            hk = hqkv[..., H * D : (H + KH) * D]
+            hv = hqkv[..., (H + KH) * D :]
+        else:
+            hq = qmatmul(h, lw["wq"])
+            hk = qmatmul(h, lw["wk"])
+            hv = qmatmul(h, lw["wv"])
+            if "bq" in lw:
+                hq = hq + lw["bq"]
+                hk = hk + lw["bk"]
+                hv = hv + lw["bv"]
         hq = hq.reshape(B, Tc, H, D)
         hk = hk.reshape(B, Tc, KH, D)
         hv = hv.reshape(B, Tc, KH, D)
 
         q_rot = apply_rope(hq, self_extend_pos(q_pos, ga_n, ga_w), cfg)
 
-        # append UNROTATED K and V to this layer's cache (see kvcache
-        # docstring): per-slot dynamic_update_slice at the contiguous cell
-        # window — the in-place pattern; quantize-on-append for q8_0/q4_0
-        def put(arr_list, vals):
-            arr_list[li] = append_rows(arr_list[li], vals, slot_ids, start,
-                                       n_valid, active)
-
-        if cache.kind in ("q8_0", "q4_0"):
-            qk, sk = quantize_kv_rows(hk, cache.kind)
-            qv, sv = quantize_kv_rows(hv, cache.kind)
-            put(k_cache, qk)
-            put(v_cache, qv)
-            put(k_scale, sk)
-            put(v_scale, sv)
-        else:
-            put(k_cache, hk)
-            put(v_cache, hv)
+        # DEFERRED append (kvcache docstring): attention sees this step's
+        # rows in-flight; the cache write happens once after the layer
+        # loop. Rows are collected in storage order [B, KH, Tc, D] so no
+        # transpose feeds the cache update (see _put_slot_windows).
+        k_new_rot = jnp.swapaxes(
+            apply_rope(hk, self_extend_pos(q_pos, ga_n, ga_w), cfg), 1, 2
+        )  # [B, KH, Tc, D]
+        new_k_rows.append(jnp.swapaxes(hk, 1, 2))
+        new_v_rows.append(jnp.swapaxes(hv, 1, 2))
 
         attn = _ATTN_IMPL(
-            q_rot, k_cache[li], v_cache[li],
-            k_scale[li] if k_scale is not None else None,
-            v_scale[li] if v_scale is not None else None,
-            cache.kind, slot_ids, q_pos, cfg, ga_n, ga_w,
+            q_rot, cache, li, slot_ids, q_pos, n_valid,
+            k_new_rot, jnp.swapaxes(hv, 1, 2), cfg, ga_n, ga_w,
         )
         attn = attn.reshape(B, Tc, H * D)
         attn = qmatmul(attn, lw["wo"])
@@ -221,8 +231,14 @@ def _forward(
         x = x + attn
 
         h = rms_norm(x, lw["ffn_norm"], cfg.rms_eps)
-        gate = _act(qmatmul(h, lw["w_gate"]), cfg.act)
-        up = qmatmul(h, lw["w_up"])
+        if "w_gateup" in lw:  # load-time fused gate|up (model/loader.py)
+            gu = qmatmul(h, lw["w_gateup"])
+            nf = gu.shape[-1] // 2
+            gate = _act(gu[..., :nf], cfg.act)
+            up = gu[..., nf:]
+        else:
+            gate = _act(qmatmul(h, lw["w_gate"]), cfg.act)
+            up = qmatmul(h, lw["w_up"])
         ffn = qmatmul(gate * up, lw["w_down"])
         if cfg.post_norms:
             ffn = rms_norm(ffn, lw["post_ffn_norm"], cfg.rms_eps)
@@ -244,15 +260,17 @@ def _forward(
         c = cfg.final_logit_softcap
         logits = jnp.tanh(logits / c) * c
 
+    # ONE append for the whole step (all layers, all slots)
+    cache = append_step(
+        cache, jnp.stack(new_k_rows), jnp.stack(new_v_rows),
+        slot_ids, start, n_valid, active,
+    )
     lengths = jnp.where(
         active, cache.lengths[slot_ids] + n_valid, cache.lengths[slot_ids]
     )
     new_lengths = cache.lengths.at[slot_ids].set(lengths.astype(jnp.int32))
-    new_cache = KVCache(
-        tuple(k_cache), tuple(v_cache), new_lengths,
-        tuple(k_scale) if k_scale is not None else None,
-        tuple(v_scale) if v_scale is not None else None, cache.kind,
-    )
+    new_cache = KVCache(cache.k, cache.v, new_lengths, cache.k_scale,
+                        cache.v_scale, cache.kind)
     return logits, new_cache, pooled
 
 

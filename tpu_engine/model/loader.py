@@ -18,7 +18,7 @@ import numpy as np
 from ..gguf.reader import GGUFFile, read_gguf
 from ..tokenizer.tokenizer import Tokenizer
 from .config import ModelConfig
-from .weights import QTensor, permute_rows, qtensor_from_gguf
+from .weights import QTensor, concat_qtensors, permute_rows, qtensor_from_gguf
 
 
 @dataclass
@@ -103,6 +103,22 @@ def load_model(
                 lw["bq"] = jnp.asarray(bq, compute_dtype)
                 lw["bk"] = jnp.asarray(bk, compute_dtype)
                 lw["bv"] = jnp.asarray(g.dequantize(p + "attn_v.bias", np.float32), compute_dtype)
+            if sharder is None:
+                # fuse q|k|v and gate|up along N: one kernel launch and one
+                # activation relayout instead of three/two (per-op overhead
+                # dominates small-batch decode). TP sharding keeps them
+                # separate (head-aligned row shards).
+                fused = concat_qtensors([lw["wq"], lw["wk"], lw["wv"]])
+                if fused is not None:
+                    lw["wqkv"] = fused
+                    del lw["wq"], lw["wk"], lw["wv"]
+                    if "bq" in lw:
+                        lw["bqkv"] = jnp.concatenate([lw["bq"], lw["bk"], lw["bv"]])
+                        del lw["bq"], lw["bk"], lw["bv"]
+                fused = concat_qtensors([lw["w_gate"], lw["w_up"]])
+                if fused is not None:
+                    lw["w_gateup"] = fused
+                    del lw["w_gate"], lw["w_up"]
             if p + "post_attention_norm.weight" in g.tensors:
                 lw["post_attn_norm"] = _norm(
                     g, p + "post_attention_norm.weight", compute_dtype, add_one

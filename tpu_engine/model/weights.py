@@ -178,6 +178,29 @@ def set_pallas_qmatmul(fn) -> None:
     _PALLAS_QMATMUL = fn
 
 
+def concat_qtensors(qts: list[QTensor]) -> QTensor | None:
+    """Fuse weights along the output dim N (e.g. q|k|v, gate|up) so one
+    matmul replaces several sharing the same activation — fewer kernel
+    launches and one activation relayout instead of N. Requires matching
+    kind/group/K/perm and uniform presence of bias; returns None otherwise."""
+    k0 = qts[0]
+    if any(
+        t.kind != k0.kind or t.group != k0.group or t.shape[1] != k0.shape[1]
+        or t.perm != k0.perm or (t.bias is None) != (k0.bias is None)
+        for t in qts
+    ):
+        return None
+    n_total = sum(t.shape[0] for t in qts)
+    return QTensor(
+        qs=jnp.concatenate([t.qs for t in qts], axis=0),
+        scale=jnp.concatenate([t.scale for t in qts], axis=0)
+        if k0.scale is not None else None,
+        bias=jnp.concatenate([t.bias for t in qts], axis=0)
+        if k0.bias is not None else None,
+        kind=k0.kind, group=k0.group, shape=(n_total, k0.shape[1]), perm=k0.perm,
+    )
+
+
 def qmatmul(x: jax.Array, qt: QTensor) -> jax.Array:
     """y = x @ W.T with W quantized. x: [..., K] -> [..., N]."""
     if qt.kind == "dense":
