@@ -191,3 +191,57 @@ def test_load_errors(server):
     status, resp = post(base, "/v1/chat/completions", {
         "model": "ghost", "messages": [{"role": "user", "content": "x"}]})
     assert status == 409
+
+
+def test_multimodal_chat(server, tmp_path_factory):
+    """mmproj load + image chat over HTTP: base64 data URL intake,
+    [img-N] templating, decode-by-embedding (reference multimodal flow,
+    llama_engine.cc:853-918)."""
+    import base64 as b64
+
+    from tests.test_clip import _png_bytes, tiny_hf_clip, write_mmproj
+
+    base, model_path = server
+    d = tmp_path_factory.mktemp("mm")
+    # tiny llama n_embd must match the projector output
+    from tpu_engine.model.loader import load_model
+
+    n_embd = load_model(model_path).cfg.n_embd
+    mm_path, _ = write_mmproj(str(d / "mmproj.gguf"), tiny_hf_clip(),
+                              e_llm=n_embd)
+
+    status, resp = post(base, "/loadmodel", {
+        "model": "tinymm", "llama_model_path": model_path,
+        "mmproj": mm_path, "ctx_len": 2048, "n_parallel": 1,
+    })
+    assert status == 200, resp
+    data_url = "data:image/png;base64," + b64.b64encode(_png_bytes()).decode()
+    status, resp = post(base, "/v1/chat/completions", {
+        "model": "tinymm",
+        "messages": [{"role": "user", "content": [
+            {"type": "text", "text": "what is in "},
+            {"type": "image_url", "image_url": {"url": data_url}},
+        ]}],
+        "max_tokens": 4, "temperature": 0.0,
+    })
+    assert status == 200, resp
+    assert resp["choices"][0]["message"]["content"] is not None
+    # 16 image tokens counted in usage
+    assert resp["usage"]["prompt_tokens"] > 16
+    status, resp = post(base, "/unloadmodel", {"model": "tinymm"})
+    assert status == 200
+
+
+def test_multimodal_mmproj_mismatch(server, tmp_path_factory):
+    """Wrong-dim mmproj is rejected at load (reference
+    llama_server_context.cc:217-230)."""
+    from tests.test_clip import tiny_hf_clip, write_mmproj
+
+    base, model_path = server
+    d = tmp_path_factory.mktemp("mmbad")
+    mm_path, _ = write_mmproj(str(d / "bad.gguf"), tiny_hf_clip(), e_llm=40)
+    status, resp = post(base, "/loadmodel", {
+        "model": "tinybad", "llama_model_path": model_path,
+        "mmproj": mm_path,
+    })
+    assert status != 200

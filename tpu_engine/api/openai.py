@@ -9,12 +9,17 @@ logprobs shaping from :939-1112 and :124-178.
 
 from __future__ import annotations
 
+import base64
+import logging
+import re
 import time
 from dataclasses import dataclass, field
 
 from ..sampling import SamplingParams
 from ..serve.types import CompletionParams, StopReason
 from ..utils.text import random_id
+
+log = logging.getLogger("tpu_engine.api")
 
 
 @dataclass
@@ -27,32 +32,60 @@ class ModelPrompts:
     pre_prompt: str = ""
 
 
-def flatten_content(content) -> str:
-    """Flatten OpenAI content arrays; images become [img-N] markers
-    (reference llama_engine.cc:853-918)."""
+_DATA_URL_RE = re.compile(r"data:image/[^;]+;base64,(.*)", re.DOTALL)
+
+
+def _decode_image_url(url: str) -> bytes | None:
+    """base64 data URL or local file path -> raw image bytes (reference
+    llama_engine.cc:874-893, llama_utils.h:20-31 extractBase64 /
+    processLocalImage; remote http URLs unsupported, as in the reference)."""
+    if url.startswith("http"):
+        log.info("remote image detected but not supported yet")
+        return None
+    m = _DATA_URL_RE.match(url)
+    if m:
+        try:
+            return base64.b64decode(m.group(1))
+        except Exception:
+            return None
+    try:
+        with open(url, "rb") as f:
+            return f.read()
+    except OSError:
+        return None
+
+
+def flatten_content(content, images: list | None = None) -> str:
+    """Flatten OpenAI content arrays; images become 0-based [img-N]
+    markers and their decoded bytes are appended to `images` (reference
+    llama_engine.cc:853-918)."""
     if isinstance(content, str):
         return content
     if isinstance(content, list):
         out = []
-        img_idx = 0
         for part in content:
             if not isinstance(part, dict):
                 continue
             if part.get("type") == "text":
                 out.append(part.get("text", ""))
             elif part.get("type") == "image_url":
-                out.append(f"[img-{img_idx}]")
-                img_idx += 1
+                url = part.get("image_url", {})
+                url = url.get("url", "") if isinstance(url, dict) else str(url)
+                data = _decode_image_url(url)
+                if data is not None and images is not None:
+                    out.append(f"[img-{len(images)}]")
+                    images.append(data)
         return "".join(out)
     return str(content) if content is not None else ""
 
 
-def apply_template(messages: list, prompts: ModelPrompts) -> str:
+def apply_template(messages: list, prompts: ModelPrompts,
+                   images: list | None = None) -> str:
     """Role-based prompt assembly (reference llama_engine.cc:816-918)."""
     out = prompts.pre_prompt
     for msg in messages:
         role = msg.get("role", "user")
-        content = flatten_content(msg.get("content"))
+        content = flatten_content(msg.get("content"), images)
         if role == "user":
             prefix = prompts.user_prompt
         elif role == "assistant":
@@ -109,7 +142,8 @@ def parse_chat_request(body: dict, prompts: ModelPrompts,
         sp.logit_bias = {int(t): float(v) for t, v in lb if True}
 
     messages = body.get("messages", [])
-    prompt = apply_template(messages, prompts)
+    images: list = []
+    prompt = apply_template(messages, prompts, images)
 
     stops = [str(s) for s in (body.get("stop") or [])]
     # default stop words (reference llama_engine.cc:925-929)
@@ -136,6 +170,7 @@ def parse_chat_request(body: dict, prompts: ModelPrompts,
         cache_prompt=caching_enabled,
         n_keep=int(body.get("n_keep", 0)),
         json_schema=json_schema,
+        images=images,
     )
     meta = {
         "model": str(body.get("model", "unknown")),

@@ -157,11 +157,16 @@ def _forward(
     ga_w: jax.Array | int = 0,
     n_valid: jax.Array | None = None,
     collect_hidden: bool = False,
+    embd: jax.Array | None = None,
 ):
     """One engine step over a [B, Tc] token block.
 
     n_valid [B]: number of real tokens per row (rows are right-padded to the
     bucket length Tc; pad tokens neither write to the cache nor count).
+
+    embd [B, Tc, E]: when given, decode these embeddings instead of token
+    ids (the image-token path — reference llava_embd_batch decode,
+    llama_server_context.cc:5-37,1092-1108).
 
     Returns (logits [B, n_vocab] for the last VALID token of each row,
     new_cache, pooled_hidden [B, n_embd] or None).
@@ -179,9 +184,12 @@ def _forward(
     start = cache.lengths[slot_ids]  # [B]
     q_pos = start[:, None] + jnp.arange(Tc, dtype=jnp.int32)[None, :]  # [B, Tc]
 
-    x = embed_rows(weights["token_embd"], tokens, dtype)  # [B, Tc, E]
-    if cfg.embedding_scale != 1.0:
-        x = x * jnp.asarray(cfg.embedding_scale, dtype)
+    if embd is not None:
+        x = embd.astype(dtype)  # image tokens decode as-is (no embd scale)
+    else:
+        x = embed_rows(weights["token_embd"], tokens, dtype)  # [B, Tc, E]
+        if cfg.embedding_scale != 1.0:
+            x = x * jnp.asarray(cfg.embedding_scale, dtype)
 
     new_k_rows, new_v_rows = [], []  # per layer, UNROTATED [B, Tc, KH, D]
     hidden_sum = jnp.zeros((B, cfg.n_embd), jnp.float32) if collect_hidden else None

@@ -70,6 +70,7 @@ class InferenceEngine:
         grp_attn_w: int = 512,
         kv_cache_dtype=jnp.float32,
         cache_type: str | None = None,  # reference cache_type_k/v: f16|q8_0|q4_0
+        clip=None,  # clipvit.model.ClipModel for multimodal (mmproj)
         prefill_buckets=PREFILL_BUCKETS,
         decode_chunk: int | None = None,
     ):
@@ -86,6 +87,7 @@ class InferenceEngine:
         self.ga_w = grp_attn_w
         self.prefill_buckets = tuple(b for b in prefill_buckets if b <= max(n_batch, 16))
 
+        self.clip = clip
         self.cache = new_cache(
             self.cfg.n_layer, n_parallel, self.slot_ctx,
             self.cfg.n_kv_head, self.cfg.head_dim, dtype=kv_cache_dtype,
@@ -96,7 +98,7 @@ class InferenceEngine:
         # multi-token device decode: tokens sampled on-device per host
         # round-trip (sampling/device.py); 1 disables
         if decode_chunk is None:
-            decode_chunk = int(os.environ.get("TPU_ENGINE_DECODE_CHUNK", "16"))
+            decode_chunk = int(os.environ.get("TPU_ENGINE_DECODE_CHUNK", "32"))
         self.decode_chunk = max(decode_chunk, 1)
         # pulling any output of an execution can drag the whole result
         # bundle host-side (remote runtimes); route pulls through a tiny
@@ -170,14 +172,23 @@ class InferenceEngine:
 
     def warm_up(self, n_predict: int = 2) -> None:
         """Compile the hot executables before serving (reference WarmUpModel,
-        llama_engine.cc:1247-1267)."""
-        params = CompletionParams(prompt="Hello", n_predict=n_predict)
-        params.sampling.temperature = 0.0
-        tid = self.request_completion(params)
-        while True:
-            r = self.next_result(tid)
-            if r.stop or r.error:
+        llama_engine.cc:1247-1267): every prefill bucket that fits the slot
+        context, plus the batched decode path (first compile of a config is
+        tens of seconds on TPU — it must not land in a user request)."""
+        bos = self.tok.bos_id if self.tok.bos_id >= 0 else 0
+        tids = []
+        for b in self.prefill_buckets:
+            if b >= self.slot_ctx:
                 break
+            params = CompletionParams(
+                prompt=[bos] * b, n_predict=n_predict, cache_prompt=False)
+            params.sampling.temperature = 0.0
+            tids.append(self.request_completion(params))
+        for tid in tids:
+            while True:
+                r = self.next_result(tid)
+                if r.stop or r.error:
+                    break
 
     # ------------------------------------------------------------- internals
     def _emit(self, task_id: int, res: TaskResult) -> None:
@@ -289,6 +300,18 @@ class InferenceEngine:
             sampler.grammar_matcher = build_matcher(grammar_src, self.tok)
         slot.launch(task.id, p, sampler, StreamDetokenizer(self.tok))
 
+        # multimodal prompt: split at [img-N] markers into text/image
+        # segments (reference :1131-1150 multiprompt split + IngestImages)
+        if p.images and isinstance(p.prompt, str) and self.clip is not None:
+            err = self._launch_multimodal(slot, p)
+            if err:
+                self._emit(task.id, TaskResult(
+                    task_id=task.id, error=True, stop=True, error_message=err))
+                slot.release()
+            return
+
+        slot.segments = []
+        slot.seg_idx = slot.seg_off = 0
         # tokenize (reference :1374-1414, infill FIM assembly :1381-1409)
         if p.infill:
             ids = self._build_infill_prompt(p)
@@ -337,6 +360,59 @@ class InferenceEngine:
         # timings count only newly-processed tokens; usage reports the full
         # prompt (reference num_prompt_tokens in tokens_evaluated)
         slot.timings.prompt_n = len(ids) - n_past
+        slot.prompt_cells = len(ids)
+
+    def _launch_multimodal(self, slot: Slot, p: CompletionParams) -> str | None:
+        """Build interleaved text/image segments and encode the images
+        (reference image intake llama_engine.cc:853-918; CLIP encode
+        llama_server_context.cc:814-831). Returns an error string or None.
+
+        Images break the token-prefix cache and input truncation, so both
+        are disabled for multimodal requests."""
+        import re
+
+        from ..clipvit.model import encode_image
+
+        segments: list = []
+        text_tokens: list[int] = []
+        parts = re.split(r"\[img-(\d+)\]", p.prompt)
+        # parts = [text, idx, text, idx, ..., text]
+        for j, part in enumerate(parts):
+            if j % 2 == 0:
+                if part:
+                    ids = self.tok.encode(part, add_special=(j == 0),
+                                          parse_special=True)
+                    if ids:
+                        segments.append(("t", ids))
+                        text_tokens.extend(ids)
+            else:
+                idx = int(part)  # 0-based ids (reference llama_engine.cc:895-897)
+                if idx >= len(p.images):
+                    return f"prompt references [img-{part}] but only " \
+                           f"{len(p.images)} image(s) were provided"
+                try:
+                    embd = np.asarray(encode_image(self.clip, p.images[idx]))
+                except Exception as e:
+                    return f"failed to process image: {e}"
+                segments.append(("i", embd))
+        if not segments:
+            return "empty multimodal prompt"
+        total = sum(len(d) if k == "t" else d.shape[0] for k, d in segments)
+        if total >= self.slot_ctx:
+            return (f"multimodal prompt needs {total} cells but the slot has "
+                    f"{self.slot_ctx} (raise ctx_len or lower n_parallel)")
+        slot.segments = segments
+        slot.seg_idx = slot.seg_off = 0
+        slot.prompt_tokens = text_tokens
+        slot.prompt_cells = total
+        slot.n_past = 0
+        slot.n_prompt_done = 0
+        slot.cache_tokens = []
+        self.cache = trim(self.cache, jnp.int32(slot.id), jnp.int32(0))
+        for t in text_tokens:
+            slot.sampler.accept(t, apply_grammar=False)
+        slot.timings.prompt_n = total
+        return None
 
     def _build_infill_prompt(self, p: CompletionParams) -> list[int]:
         """FIM prompt assembly (reference :1381-1409)."""
@@ -388,6 +464,9 @@ class InferenceEngine:
         self._decode_step()
 
     def _prefill_chunk(self, s: Slot) -> None:
+        if s.segments:
+            self._prefill_segment(s)
+            return
         remaining = len(s.prompt_tokens) - s.n_prompt_done
         if remaining <= 0:
             return
@@ -441,6 +520,64 @@ class InferenceEngine:
             log.info("prefill slot=%d first-logits pull=%.0fms", s.id,
                      (time.time() - t0) * 1000)
         token = s.sampler.sample(row)
+        self._process_token(s, token)
+
+    def _prefill_segment(self, s: Slot) -> None:
+        """One prefill step over the current text/image segment (reference
+        IngestImages interleave, llama_server_context.cc:1073-1129).
+        Image segments decode by embedding; exact (unbucketed) shapes —
+        n_patches is fixed per clip model, so each compiles once."""
+        kind, data = s.segments[s.seg_idx]
+        n_seg = len(data) if kind == "t" else data.shape[0]
+        chunk = min(n_seg - s.seg_off, self.n_batch)
+        seg_last = s.seg_off + chunk == n_seg
+        is_last = seg_last and s.seg_idx == len(s.segments) - 1
+
+        t0 = time.time()
+        if kind == "t":
+            toks = data[s.seg_off : s.seg_off + chunk]
+            bucket = next((b for b in self.prefill_buckets if b >= chunk),
+                          max(self.prefill_buckets))
+            chunk = min(chunk, bucket)
+            seg_last = s.seg_off + chunk == n_seg
+            is_last = seg_last and s.seg_idx == len(s.segments) - 1
+            toks = data[s.seg_off : s.seg_off + chunk]
+            padded = toks + [0] * (bucket - chunk)
+            logits, self.cache, _ = forward_step(
+                self.model.weights, self.cache,
+                jnp.asarray([padded], jnp.int32),
+                jnp.asarray([s.id], jnp.int32), jnp.asarray([True]), self.cfg,
+                ga_n=self.ga_n, ga_w=self.ga_w,
+                n_valid=jnp.asarray([chunk], jnp.int32),
+            )
+            s.cache_tokens.extend(toks)
+        else:
+            embd = data[s.seg_off : s.seg_off + chunk]
+            logits, self.cache, _ = forward_step(
+                self.model.weights, self.cache,
+                jnp.zeros((1, chunk), jnp.int32),
+                jnp.asarray([s.id], jnp.int32), jnp.asarray([True]), self.cfg,
+                ga_n=self.ga_n, ga_w=self.ga_w,
+                n_valid=jnp.asarray([chunk], jnp.int32),
+                embd=jnp.asarray(embd, jnp.float32)[None],
+            )
+            s.cache_tokens.extend([-1] * chunk)  # image cells
+        if self._trace:
+            log.info("prefill-mm slot=%d seg=%d/%d kind=%s chunk=%d "
+                     "dispatch=%.0fms", s.id, s.seg_idx, len(s.segments),
+                     kind, chunk, (time.time() - t0) * 1000)
+        s.seg_off += chunk
+        s.n_prompt_done += chunk
+        s.n_past += chunk
+        if seg_last:
+            s.seg_idx += 1
+            s.seg_off = 0
+        if not is_last:
+            return
+        s.timings.prompt_ms = (time.time() - s.t_start_prompt) * 1000.0
+        s.t_start_gen = time.time()
+        s.state = SlotState.GENERATING
+        token = s.sampler.sample(np.asarray(self._extract(logits))[0])
         self._process_token(s, token)
 
     def _decode_step(self) -> None:
@@ -588,7 +725,7 @@ class InferenceEngine:
                 self._emit(s.task_id, TaskResult(
                     task_id=s.task_id, text=delta,
                     tokens_predicted=s.timings.predicted_n,
-                    tokens_evaluated=len(s.prompt_tokens),
+                    tokens_evaluated=s.prompt_cells,
                 ))
 
     def _finish_slot(self, s: Slot, ) -> None:
@@ -611,7 +748,7 @@ class InferenceEngine:
             stop_reason=StopReason.NONE if cancelled else s.stop_reason,
             stopping_word=s.stopping_word,
             tokens_predicted=s.timings.predicted_n,
-            tokens_evaluated=len(s.prompt_tokens),
+            tokens_evaluated=s.prompt_cells,
             truncated=s.truncated,
             timings=s.timings.to_dict(),
             probs=probs,
@@ -626,7 +763,7 @@ class InferenceEngine:
         s.timings.predicted_n = 0
         self._emit(s.task_id, TaskResult(
             task_id=s.task_id, stop=True,
-            tokens_evaluated=len(s.prompt_tokens),
+            tokens_evaluated=s.prompt_cells,
             timings=s.timings.to_dict(),
             embedding=[float(x) for x in vec],
         ))

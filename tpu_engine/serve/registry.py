@@ -83,6 +83,14 @@ class EngineRegistry:
         if cache_type not in VALID_KV_TYPES:
             log.warning("unsupported cache_type %s, using f16", cache_type)
             cache_type = "f16"
+        import jax as _jax
+
+        if _jax.devices()[0].platform == "tpu":
+            # fused dequant+matmul is unconditionally the right choice on
+            # TPU (falls back internally for shapes it can't tile)
+            from ..kernels import dequant_matmul as _dm
+
+            _dm.enable()
         flash_attn = bool(body.get("flash_attn", False))
         if cache_type != "f16":
             # reference force-enables flash attention for quantized KV
@@ -106,6 +114,29 @@ class EngineRegistry:
         is_embedding = bool(body.get("embedding", model_type == "embedding"))
 
         lm = load_model(str(path))
+
+        # multimodal: mmproj clip model (reference LoadModel,
+        # llama_server_context.cc:182-242)
+        clip = None
+        mmproj = body.get("mmproj")
+        if mmproj:
+            if not os.path.exists(str(mmproj)):
+                return False, f"mmproj path does not exist: {mmproj}"
+            from ..clipvit.model import load_clip
+
+            try:
+                clip = load_clip(str(mmproj))
+            except Exception as e:
+                return False, f"unable to load clip model: {e}"
+            if clip.n_embd_out != lm.cfg.n_embd:
+                return False, (
+                    f"embedding dim of the multimodal projector "
+                    f"({clip.n_embd_out}) is not equal to that of the LLM "
+                    f"({lm.cfg.n_embd}); use the matching mmproj file")
+            # images need room (reference :195-205: >=2048; llava-1.6 4096)
+            if n_ctx < 2048:
+                n_ctx = 2048
+
         engine = InferenceEngine(
             lm,
             n_ctx=n_ctx,
@@ -116,6 +147,7 @@ class EngineRegistry:
             grp_attn_n=int(body.get("grp_attn_n", 1)),
             grp_attn_w=int(body.get("grp_attn_w", 512)),
             cache_type=cache_type,
+            clip=clip,
         )
         prompts = ModelPrompts(
             user_prompt=str(body.get("user_prompt", "USER: ")),

@@ -34,6 +34,12 @@ class Slot:
 
     prompt_tokens: list[int] = field(default_factory=list)
     cache_tokens: list[int] = field(default_factory=list)  # tokens in KV cells
+    # multimodal prompt: interleaved ("t", [ids]) / ("i", embd [n, E])
+    # segments; empty means text-only (walk prompt_tokens directly)
+    segments: list = field(default_factory=list)
+    seg_idx: int = 0
+    seg_off: int = 0
+    prompt_cells: int = 0  # total cells the prompt occupies (incl. images)
     n_past: int = 0  # occupied cells (== host view of cache.lengths[id])
     n_prompt_done: int = 0  # prompt tokens already decoded
 

@@ -47,6 +47,9 @@ class CompletionParams:
     input_suffix: str = ""
     infill: bool = False
     json_schema: dict | None = None
+    # multimodal: decoded image bytes; the prompt references them with
+    # [img-N] markers (reference llama_engine.cc:853-918)
+    images: list = field(default_factory=list)
 
 
 @dataclass
