@@ -18,7 +18,13 @@ import numpy as np
 from ..gguf.reader import GGUFFile, read_gguf
 from ..tokenizer.tokenizer import Tokenizer
 from .config import ModelConfig
-from .weights import QTensor, concat_qtensors, permute_rows, qtensor_from_gguf
+from .weights import (
+    QTensor,
+    concat_qtensors,
+    permute_rows,
+    qtensor_from_gguf,
+    slice_rows,
+)
 
 
 @dataclass
@@ -81,20 +87,39 @@ def load_model(
                 t = sharder(name, t)
             return t
 
+        H, KH, D = cfg.n_head, cfg.n_kv_head, cfg.head_dim
         layers = []
         for i in range(cfg.n_layer):
             p = f"blk.{i}."
             lw = {
                 "attn_norm": _norm(g, p + "attn_norm.weight", compute_dtype, add_one),
-                "wq": qt(p + "attn_q.weight"),
-                "wk": qt(p + "attn_k.weight"),
-                "wv": qt(p + "attn_v.weight"),
                 "wo": qt(p + "attn_output.weight"),
                 "ffn_norm": _norm(g, p + "ffn_norm.weight", compute_dtype, add_one),
-                "w_gate": qt(p + "ffn_gate.weight"),
-                "w_up": qt(p + "ffn_up.weight"),
                 "w_down": qt(p + "ffn_down.weight"),
             }
+            if p + "attn_qkv.weight" in g.tensors:  # phi3-style fused qkv
+                fused = qt(p + "attn_qkv.weight")
+                if sharder is None:
+                    lw["wqkv"] = fused
+                else:  # TP shards rows per head: split back
+                    lw["wq"] = slice_rows(fused, 0, H * D)
+                    lw["wk"] = slice_rows(fused, H * D, (H + KH) * D)
+                    lw["wv"] = slice_rows(fused, (H + KH) * D, (H + 2 * KH) * D)
+            else:
+                lw["wq"] = qt(p + "attn_q.weight")
+                lw["wk"] = qt(p + "attn_k.weight")
+                lw["wv"] = qt(p + "attn_v.weight")
+            if p + "ffn_gate.weight" in g.tensors:
+                lw["w_gate"] = qt(p + "ffn_gate.weight")
+                lw["w_up"] = qt(p + "ffn_up.weight")
+            else:  # phi3-style fused gate|up stored as ffn_up
+                fused = qt(p + "ffn_up.weight")
+                if sharder is None:
+                    lw["w_gateup"] = fused
+                else:
+                    nf = fused.shape[0] // 2
+                    lw["w_gate"] = slice_rows(fused, 0, nf)
+                    lw["w_up"] = slice_rows(fused, nf, 2 * nf)
             if p + "attn_q.bias" in g.tensors:
                 bq = np.asarray(g.dequantize(p + "attn_q.bias", np.float32))
                 bk = np.asarray(g.dequantize(p + "attn_k.bias", np.float32))
@@ -108,17 +133,19 @@ def load_model(
                 # activation relayout instead of three/two (per-op overhead
                 # dominates small-batch decode). TP sharding keeps them
                 # separate (head-aligned row shards).
-                fused = concat_qtensors([lw["wq"], lw["wk"], lw["wv"]])
-                if fused is not None:
-                    lw["wqkv"] = fused
-                    del lw["wq"], lw["wk"], lw["wv"]
-                    if "bq" in lw:
-                        lw["bqkv"] = jnp.concatenate([lw["bq"], lw["bk"], lw["bv"]])
-                        del lw["bq"], lw["bk"], lw["bv"]
-                fused = concat_qtensors([lw["w_gate"], lw["w_up"]])
-                if fused is not None:
-                    lw["w_gateup"] = fused
-                    del lw["w_gate"], lw["w_up"]
+                if "wq" in lw:
+                    fused = concat_qtensors([lw["wq"], lw["wk"], lw["wv"]])
+                    if fused is not None:
+                        lw["wqkv"] = fused
+                        del lw["wq"], lw["wk"], lw["wv"]
+                        if "bq" in lw:
+                            lw["bqkv"] = jnp.concatenate([lw["bq"], lw["bk"], lw["bv"]])
+                            del lw["bq"], lw["bk"], lw["bv"]
+                if "w_gate" in lw:
+                    fused = concat_qtensors([lw["w_gate"], lw["w_up"]])
+                    if fused is not None:
+                        lw["w_gateup"] = fused
+                        del lw["w_gate"], lw["w_up"]
             if p + "post_attention_norm.weight" in g.tensors:
                 lw["post_attn_norm"] = _norm(
                     g, p + "post_attention_norm.weight", compute_dtype, add_one

@@ -178,6 +178,19 @@ def set_pallas_qmatmul(fn) -> None:
     _PALLAS_QMATMUL = fn
 
 
+def slice_rows(qt: QTensor, start: int, stop: int) -> QTensor:
+    """Slice output rows [start, stop) — exact for every kind (rows carry
+    their own scales). The inverse of concat_qtensors; used to split
+    fused-on-disk tensors (phi3 attn_qkv / gate|up) for TP sharding."""
+    return QTensor(
+        qs=qt.qs[start:stop],
+        scale=qt.scale[start:stop] if qt.scale is not None else None,
+        bias=qt.bias[start:stop] if qt.bias is not None else None,
+        kind=qt.kind, group=qt.group, shape=(stop - start, qt.shape[1]),
+        perm=qt.perm,
+    )
+
+
 def concat_qtensors(qts: list[QTensor]) -> QTensor | None:
     """Fuse weights along the output dim N (e.g. q|k|v, gate|up) so one
     matmul replaces several sharing the same activation — fewer kernel

@@ -57,16 +57,18 @@ def hf_llama_to_gguf(
     tokenizer_metadata: dict | None = None,
     name: str = "converted",
 ) -> None:
-    """Convert a transformers *LlamaForCausalLM*-style model (llama, mistral,
-    tinyllama) to GGUF. Qwen2 models convert via the same graph with biases
-    and no rope permutation."""
+    """Convert a transformers causal-LM to GGUF, following llama.cpp's
+    per-arch file conventions (the weekend-matrix model families, SURVEY.md
+    section 4): llama/mistral/tinyllama (rope-permuted), qwen2 (qkv bias),
+    gemma (tied embd, +1 norms), gemma2 (+ post norms, softcaps), phi3
+    (fused attn_qkv and gate|up ffn_up)."""
     if isinstance(ggml_type, str):
         ggml_type = QUANT_LEVEL_ALIASES[ggml_type.lower()]
     cfg = hf_model.config
     arch = getattr(cfg, "model_type", "llama")
-    if arch not in ("llama", "mistral", "qwen2"):
+    if arch not in ("llama", "mistral", "qwen2", "gemma", "gemma2", "phi3"):
         raise NotImplementedError(f"hf arch {arch}")
-    gguf_arch = "qwen2" if arch == "qwen2" else "llama"
+    gguf_arch = {"mistral": "llama"}.get(arch, arch)
     permute = gguf_arch == "llama"
 
     sd = {k: v.detach().to("cpu").float().numpy() for k, v in hf_model.state_dict().items()}
@@ -95,15 +97,30 @@ def hf_llama_to_gguf(
         ty = ggml_type if (not force_f32 and _should_quantize(gname, arr)) else GGMLType.F32
         w.add_tensor(gname, arr, ty)
 
+    if arch == "gemma2":
+        w.add("gemma2.attn_logit_softcapping",
+              float(getattr(cfg, "attn_logit_softcapping", 50.0)))
+        w.add("gemma2.final_logit_softcapping",
+              float(getattr(cfg, "final_logit_softcapping", 30.0)))
+
     put("token_embd.weight", sd["model.embed_tokens.weight"])
     put("output_norm.weight", sd["model.norm.weight"])
-    if "lm_head.weight" in sd and not getattr(cfg, "tie_word_embeddings", False):
+    tied = getattr(cfg, "tie_word_embeddings", False) or arch.startswith("gemma")
+    if "lm_head.weight" in sd and not tied:
         put("output.weight", sd["lm_head.weight"])
 
     for i in range(cfg.num_hidden_layers):
         hp = f"model.layers.{i}."
         gp = f"blk.{i}."
         put(gp + "attn_norm.weight", sd[hp + "input_layernorm.weight"])
+        if arch == "phi3":
+            # llama.cpp phi3 convention: fused qkv and gate|up tensors
+            put(gp + "attn_qkv.weight", sd[hp + "self_attn.qkv_proj.weight"])
+            put(gp + "attn_output.weight", sd[hp + "self_attn.o_proj.weight"])
+            put(gp + "ffn_norm.weight", sd[hp + "post_attention_layernorm.weight"])
+            put(gp + "ffn_up.weight", sd[hp + "mlp.gate_up_proj.weight"])
+            put(gp + "ffn_down.weight", sd[hp + "mlp.down_proj.weight"])
+            continue
         wq = sd[hp + "self_attn.q_proj.weight"]
         wk = sd[hp + "self_attn.k_proj.weight"]
         if permute:
@@ -117,7 +134,18 @@ def hf_llama_to_gguf(
             put(gp + "attn_q.bias", sd[hp + "self_attn.q_proj.bias"], force_f32=True)
             put(gp + "attn_k.bias", sd[hp + "self_attn.k_proj.bias"], force_f32=True)
             put(gp + "attn_v.bias", sd[hp + "self_attn.v_proj.bias"], force_f32=True)
-        put(gp + "ffn_norm.weight", sd[hp + "post_attention_layernorm.weight"])
+        if arch == "gemma2":
+            # gemma2's four norms: input -> attn_norm, post_attention ->
+            # post_attention_norm, pre_feedforward -> ffn_norm,
+            # post_feedforward -> post_ffw_norm (llama.cpp naming)
+            put(gp + "post_attention_norm.weight",
+                sd[hp + "post_attention_layernorm.weight"])
+            put(gp + "ffn_norm.weight",
+                sd[hp + "pre_feedforward_layernorm.weight"])
+            put(gp + "post_ffw_norm.weight",
+                sd[hp + "post_feedforward_layernorm.weight"])
+        else:
+            put(gp + "ffn_norm.weight", sd[hp + "post_attention_layernorm.weight"])
         put(gp + "ffn_gate.weight", sd[hp + "mlp.gate_proj.weight"])
         put(gp + "ffn_up.weight", sd[hp + "mlp.up_proj.weight"])
         put(gp + "ffn_down.weight", sd[hp + "mlp.down_proj.weight"])
