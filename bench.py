@@ -61,7 +61,7 @@ def main() -> int:
 
     eng = InferenceEngine(
         lm, n_ctx=CTX, n_parallel=N_PARALLEL, n_batch=512,
-        prefill_buckets=(16, 64, 256),
+        prefill_buckets=(16, 64),
     )
     try:
         # warm-up compiles prefill buckets + decode executables

@@ -281,3 +281,41 @@ def test_multi_step_with_stop_word(tmp_path_factory):
         assert again.text == base.text[: len(again.text)]
     finally:
         eng.shutdown()
+
+
+def test_system_prompt_broadcast(tmp_path):
+    """System-prompt KV prefix decoded once and shared by all slots
+    (reference UpdateSystemPrompt + llama_kv_cache_seq_cp,
+    llama_server_context.cc:643-666)."""
+    from tests.models import build_test_gguf
+    from tpu_engine.model.loader import load_model
+    from tpu_engine.serve.engine import InferenceEngine
+
+    path = str(tmp_path / "tiny.gguf")
+    build_test_gguf(path, "f32", seed=3)
+    eng = InferenceEngine(load_model(path), n_ctx=256, n_parallel=2)
+    try:
+        outs = []
+        for _ in range(2):
+            tid = eng.request_completion(greedy(
+                prompt="hello world", n=6, system_prompt="always be brief"))
+            _, final = collect(eng, tid)
+            outs.append(final)
+        n_sys = len(eng.sys_tokens)
+        assert n_sys > 0
+        # deterministic across requests; usage counts system + prompt cells
+        assert outs[0].text == outs[1].text
+        assert outs[0].tokens_evaluated == outs[1].tokens_evaluated
+        assert outs[0].tokens_evaluated > n_sys
+        # both slots carry the shared prefix
+        for s in eng.slots:
+            assert s.cache_tokens[:n_sys] == eng.sys_tokens
+
+        # changing the system prompt re-seeds and changes the continuation
+        tid = eng.request_completion(greedy(
+            prompt="hello world", n=6,
+            system_prompt="respond only in French poetry with flair"))
+        _, final3 = collect(eng, tid)
+        assert len(eng.sys_tokens) != n_sys or final3.text != outs[0].text
+    finally:
+        eng.shutdown()

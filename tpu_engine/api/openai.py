@@ -172,6 +172,13 @@ def parse_chat_request(body: dict, prompts: ModelPrompts,
         json_schema=json_schema,
         images=images,
     )
+    # shared KV system prefix ({"prompt": ...} object or plain string;
+    # reference ProcessSystemPromptData, llama_server_context.cc:668-680)
+    sys_p = body.get("system_prompt")
+    if isinstance(sys_p, dict):
+        params.system_prompt = str(sys_p.get("prompt", ""))
+    elif isinstance(sys_p, str):
+        params.system_prompt = sys_p
     meta = {
         "model": str(body.get("model", "unknown")),
         "include_usage": bool((body.get("stream_options") or {}).get("include_usage", False)),

@@ -109,6 +109,11 @@ class InferenceEngine:
         self._dev_state: DeviceSamplerState | None = None
         self._last_toks_dev = None
 
+        # system-prompt KV prefix shared by all slots (reference
+        # system_prompt/system_tokens, llama_server_context.cc:643-666)
+        self.system_prompt = ""
+        self.sys_tokens: list[int] = []
+
         self._trace = os.environ.get("TPU_ENGINE_TRACE", "") == "1"
         self._task_counter = itertools.count(1)
         self._tasks: queue.Queue[Task] = queue.Queue()
@@ -205,10 +210,14 @@ class InferenceEngine:
                 busy = any(s.is_processing() for s in self.slots)
                 if not busy:
                     if self._kv_clear_requested:
-                        self.cache = clear_all(self.cache)
-                        for s in self.slots:
-                            s.cache_tokens = []
-                            s.n_past = 0
+                        if self.system_prompt:
+                            # re-seed the system prefix after the wipe
+                            self._update_system_prompt(self.system_prompt)
+                        else:
+                            self.cache = clear_all(self.cache)
+                            for s in self.slots:
+                                s.cache_tokens = []
+                                s.n_past = 0
                         self._kv_clear_requested = False
                     with self._wake:
                         if self._tasks.empty() and not self._deferred and self._running:
@@ -244,6 +253,14 @@ class InferenceEngine:
                     self._final_result(s, cancelled=True)
                     s.release()
             return
+        # system-prompt change: applied only when every slot is idle
+        # (reference system_need_update + UpdateSystemPrompt :1253-1256)
+        sp = task.params.system_prompt if task.params else None
+        if sp is not None and sp != self.system_prompt:
+            if any(s.is_processing() for s in self.slots):
+                self._deferred.append(task)
+                return
+            self._update_system_prompt(sp)
         slot = self._get_slot(task)
         if slot is None:
             self._deferred.append(task)
@@ -312,19 +329,22 @@ class InferenceEngine:
 
         slot.segments = []
         slot.seg_idx = slot.seg_off = 0
-        # tokenize (reference :1374-1414, infill FIM assembly :1381-1409)
+        n_sys = len(self.sys_tokens)
+        # tokenize (reference :1374-1414, infill FIM assembly :1381-1409;
+        # BOS comes from the system prefix when one is set, :1412)
         if p.infill:
             ids = self._build_infill_prompt(p)
         elif isinstance(p.prompt, str):
-            ids = self.tok.encode(p.prompt, add_special=True, parse_special=True)
+            ids = self.tok.encode(p.prompt, add_special=n_sys == 0,
+                                  parse_special=True)
         else:
             ids = [int(t) for t in p.prompt]
         if not ids:
-            ids = [self.tok.bos_id] if self.tok.bos_id >= 0 else [0]
+            ids = [self.tok.bos_id] if self.tok.bos_id >= 0 and n_sys == 0 else [0]
 
         # input truncation: keep n_keep head + most recent half-blocks
-        # (reference :1452-1485)
-        n_ctx_slot = self.slot_ctx
+        # (reference :1452-1485); system cells shrink the usable window
+        n_ctx_slot = self.slot_ctx - n_sys
         if len(ids) >= n_ctx_slot:
             n_keep = p.n_keep
             if n_keep < 0:
@@ -339,19 +359,21 @@ class InferenceEngine:
                 ids = ids[:n_keep] + ids[len(ids) - (n_ctx_slot - n_keep - 1):]
         slot.prompt_tokens = ids
 
-        # prompt-prefix cache (reference common_part :1489-1505)
-        n_past = 0
-        if p.cache_prompt and slot.cache_tokens:
-            for a, b in zip(slot.cache_tokens, ids):
+        # prompt-prefix cache (reference common_part :1489-1505); the
+        # system prefix cells [0, n_sys) are always reused
+        match = 0
+        if p.cache_prompt and len(slot.cache_tokens) > n_sys:
+            for a, b in zip(slot.cache_tokens[n_sys:], ids):
                 if a != b:
                     break
-                n_past += 1
+                match += 1
             # always re-eval at least the last token for logits (ref :1508-1514)
-            if n_past == len(ids):
-                n_past -= 1
-        n_past = max(n_past, 0)
+            if match == len(ids):
+                match -= 1
+        match = max(match, 0)
+        n_past = n_sys + match
         slot.n_past = n_past
-        slot.n_prompt_done = n_past
+        slot.n_prompt_done = match
         self.cache = trim(self.cache, jnp.int32(slot.id), jnp.int32(n_past))
         slot.cache_tokens = slot.cache_tokens[:n_past]
         # sampler sees the full history incl. reused prefix (ref :1493-1496)
@@ -359,8 +381,8 @@ class InferenceEngine:
             sampler.accept(t, apply_grammar=False)
         # timings count only newly-processed tokens; usage reports the full
         # prompt (reference num_prompt_tokens in tokens_evaluated)
-        slot.timings.prompt_n = len(ids) - n_past
-        slot.prompt_cells = len(ids)
+        slot.timings.prompt_n = len(ids) - match
+        slot.prompt_cells = n_sys + len(ids)
 
     def _launch_multimodal(self, slot: Slot, p: CompletionParams) -> str | None:
         """Build interleaved text/image segments and encode the images
@@ -428,6 +450,48 @@ class InferenceEngine:
             ids += pre + suf
         return ids
 
+    def _update_system_prompt(self, text: str) -> None:
+        """Decode the system prompt once into slot 0 and copy its KV prefix
+        to every slot (reference UpdateSystemPrompt :643-666:
+        llama_kv_cache_seq_cp to all sequences). All slots must be idle."""
+        from ..kvcache.cache import seq_cp
+
+        self.cache = clear_all(self.cache)
+        self.system_prompt = text
+        self.sys_tokens = (
+            self.tok.encode(text, add_special=True, parse_special=True)
+            if text else []
+        )
+        for s in self.slots:
+            s.cache_tokens = []
+            s.n_past = 0
+        if not self.sys_tokens:
+            return
+        done = 0
+        while done < len(self.sys_tokens):
+            chunk = min(len(self.sys_tokens) - done, self.n_batch,
+                        self.slot_ctx - 1 - done)
+            bucket = next((b for b in self.prefill_buckets if b >= chunk),
+                          max(self.prefill_buckets))
+            chunk = min(chunk, bucket)
+            toks = self.sys_tokens[done : done + chunk]
+            _, self.cache, _ = forward_step(
+                self.model.weights, self.cache,
+                jnp.asarray([toks + [0] * (bucket - chunk)], jnp.int32),
+                jnp.asarray([0], jnp.int32), jnp.asarray([True]), self.cfg,
+                ga_n=self.ga_n, ga_w=self.ga_w,
+                n_valid=jnp.asarray([chunk], jnp.int32),
+            )
+            done += chunk
+            if chunk <= 0:  # system prompt exceeds the slot context
+                self.sys_tokens = self.sys_tokens[:done]
+                break
+        for i in range(1, self.n_parallel):
+            self.cache = seq_cp(self.cache, jnp.int32(0), jnp.int32(i))
+        for s in self.slots:
+            s.cache_tokens = list(self.sys_tokens)
+            s.n_past = len(self.sys_tokens)
+
     # -- the hot loop --------------------------------------------------------
     def _update_slots(self) -> None:
         """One engine iteration (reference UpdateSlots :1248-1710)."""
@@ -443,6 +507,9 @@ class InferenceEngine:
                 if n_keep < 0:
                     n_keep = 0
                 n_keep += 1 if self.tok.add_bos else 0
+                # system cells are always pinned (reference keeps them via
+                # the p0 = n_sys + ... offsets, :1276-1290)
+                n_keep += len(self.sys_tokens)
                 n_discard = max((s.n_past - n_keep) // 2, 1)
                 self.cache = shift_compact(
                     self.cache, jnp.int32(s.id), jnp.int32(n_keep), jnp.int32(n_discard)
@@ -659,6 +726,8 @@ class InferenceEngine:
                      sig != getattr(self, "_trace_prev_sig", None))
             self._trace_prev_sig = sig
 
+        t2 = time.time()
+        n_trims = 0
         for s in gen:
             pending = s.generated_tokens[-1]
             for j in range(n_inner):
@@ -671,9 +740,13 @@ class InferenceEngine:
                     # overrun cells beyond n_past are stale; trim them
                     self.cache = trim(self.cache, jnp.int32(s.id),
                                       jnp.int32(s.n_past))
+                    n_trims += 1
                     break
                 pending = tok
             s.timings.predicted_ms = (time.time() - s.t_start_gen) * 1000.0
+        if self._trace and time.time() - t2 > 0.2:
+            log.info("decode_multi post-process %.0fms (trims=%d)",
+                     (time.time() - t2) * 1000, n_trims)
 
     # -- token post-processing ----------------------------------------------
     def _process_token(self, s: Slot, token: int) -> None:

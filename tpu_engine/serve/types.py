@@ -50,6 +50,9 @@ class CompletionParams:
     # multimodal: decoded image bytes; the prompt references them with
     # [img-N] markers (reference llama_engine.cc:853-918)
     images: list = field(default_factory=list)
+    # shared KV system prefix; applied when all slots are idle (reference
+    # ProcessSystemPromptData, llama_server_context.cc:668-680,1187-1188)
+    system_prompt: str | None = None
 
 
 @dataclass
