@@ -148,3 +148,66 @@ def test_phi3_fused_tensors_on_disk(tmp_path):
     lm = load_model(path)
     assert "wqkv" in lm.weights["layers"][0]
     assert "w_gateup" in lm.weights["layers"][0]
+
+
+def test_gemma2_sliding_window_matches_hf(tmp_path):
+    """Small sliding window on a prompt longer than the window: our
+    alternating local/global mask matches HF Gemma2's."""
+    import torch
+    from transformers import Gemma2Config, Gemma2ForCausalLM
+
+    torch.manual_seed(21)
+    cfg = Gemma2Config(
+        vocab_size=VOCAB, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=32,
+        intermediate_size=128, max_position_embeddings=2048,
+        rms_norm_eps=1e-6, rope_theta=10000.0,
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+        query_pre_attn_scalar=32, sliding_window=6,
+        attn_implementation="eager",
+    )
+    hf = Gemma2ForCausalLM(cfg).eval()
+    path = str(tmp_path / "g2sw.gguf")
+    hf_llama_to_gguf(hf, path, "f32", tokenizer_metadata(VOCAB), name="g2sw")
+    lm = load_model(path)
+    assert lm.cfg.sliding_window == 6 and lm.cfg.swa_alternate
+
+    prompt = PROMPT + [33, 44, 55, 66]  # 12 tokens > window 6
+    logits, _, _ = forward_step(
+        lm.weights, new_cache(lm.cfg.n_layer, 1, 64, lm.cfg.n_kv_head,
+                              lm.cfg.head_dim),
+        jnp.asarray([prompt], jnp.int32), jnp.asarray([0], jnp.int32),
+        jnp.asarray([True]), lm.cfg,
+    )
+    ref = hf_logits(hf, prompt)[-1]
+    np.testing.assert_allclose(np.asarray(logits)[0], ref, rtol=2e-3, atol=2e-3)
+
+
+def test_gemma2_sliding_window_decode(tmp_path):
+    """Stepwise decode (cache path + in-flight) honors the window."""
+    hf = tiny_gemma2()
+    path = str(tmp_path / "g2.gguf")
+    hf_llama_to_gguf(hf, path, "f32", tokenizer_metadata(VOCAB), name="g2")
+    lm = load_model(path)
+    lm.cfg.sliding_window, lm.cfg.swa_alternate = 5, True
+
+    full = PROMPT + [33, 77]
+    logits_full, _, _ = forward_step(
+        lm.weights, new_cache(lm.cfg.n_layer, 1, 64, lm.cfg.n_kv_head,
+                              lm.cfg.head_dim),
+        jnp.asarray([full], jnp.int32), jnp.asarray([0], jnp.int32),
+        jnp.asarray([True]), lm.cfg,
+    )
+    _, cache, _ = forward_step(
+        lm.weights, new_cache(lm.cfg.n_layer, 1, 64, lm.cfg.n_kv_head,
+                              lm.cfg.head_dim),
+        jnp.asarray([PROMPT], jnp.int32), jnp.asarray([0], jnp.int32),
+        jnp.asarray([True]), lm.cfg,
+    )
+    for t in (33, 77):
+        logits_step, cache, _ = forward_step(
+            lm.weights, cache, jnp.asarray([[t]], jnp.int32),
+            jnp.asarray([0], jnp.int32), jnp.asarray([True]), lm.cfg,
+        )
+    np.testing.assert_allclose(np.asarray(logits_step), np.asarray(logits_full),
+                               rtol=1e-4, atol=1e-4)

@@ -164,3 +164,22 @@ def test_norm_rope_model_end_to_end(tmp_path):
     finally:
         FA.disable()
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_sliding_window():
+    """gemma2-style local attention: window mask in both kernels."""
+    import dataclasses
+
+    cfg0 = mk_cfg()
+    cfg = dataclasses.replace(cfg0, sliding_window=24, swa_alternate=False)
+    cfg.__class__ = cfg0.__class__
+    # decode
+    q, case, q_pos = mk_case(cfg, B=3, Tc=1, T=160, kind="f32",
+                             starts=[10, 60, 159])
+    ref, got = run_both(cfg, q, case, q_pos)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+    # prefill
+    q, case, q_pos = mk_case(cfg, B=2, Tc=32, T=256, kind="f32",
+                             starts=[40, 100])
+    ref, got = run_both(cfg, q, case, q_pos)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)

@@ -116,7 +116,7 @@ def _softcap(s, cfg: ModelConfig):
 # --------------------------------------------------------------------------
 
 def _decode_kernel(
-    li_ref, slots_ref, starts_ref,  # scalar prefetch (SMEM)
+    li_ref, slots_ref, starts_ref, win_ref,  # scalar prefetch (SMEM)
     q_ref, kn_ref, vn_ref, k_ref, v_ref, cos_ref, sin_ref, ks_ref, vs_ref,
     out_ref,
     acc_ref, m_ref, l_ref,
@@ -140,7 +140,7 @@ def _decode_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
 
     @pl.when(kb <= last_kb)
-    def _():
+    def _():  # noqa: F811
         qx = q_ref[0, 0].reshape(H, D).astype(jnp.float32)
         if RQ != H:
             qx = jnp.pad(qx, ((0, RQ - H), (0, 0)))
@@ -166,9 +166,10 @@ def _decode_kernel(
 
             row_head = jax.lax.broadcasted_iota(jnp.int32, (RQ, C), 0) // G
             col_flat = jax.lax.broadcasted_iota(jnp.int32, (RQ, C), 1)
-            ok = (row_head == col_flat // Tblk) & (
-                kb * Tblk + col_flat % Tblk < start
-            )
+            cell_abs = kb * Tblk + col_flat % Tblk
+            ok = (row_head == col_flat // Tblk) & (cell_abs < start)
+            w = win_ref[0]  # sliding window (gemma2 local layers); 0 = global
+            ok = ok & ((w <= 0) | (cell_abs > start - w))
             s = jnp.where(ok, s, NEG_INF)
             _online_update(s, vf, acc_ref, m_ref, l_ref)
 
@@ -195,7 +196,7 @@ def _decode_kernel(
 
 @functools.partial(jax.jit, static_argnames=("cfg", "kind", "interpret"))
 def _decode_call(q5, k_new, v_new, k_all, v_all, ks_all, vs_all,
-                 li, slots, starts, ga,
+                 li, slots, starts, win, ga,
                  *, cfg: ModelConfig, kind: str, interpret: bool):
     """q5 [B, 1, KH, G, D]; k/v_new [B, KH, 1, D] rotated in-flight rows;
     cache k/v [L, S, KH, T, Dk]; scales [L, S, KH, T]|None."""
@@ -223,10 +224,10 @@ def _decode_call(q5, k_new, v_new, k_all, v_all, ks_all, vs_all,
     def clamp(b, kb, starts):
         return jnp.minimum(kb, jnp.maximum((starts[b] + Tblk - 1) // Tblk - 1, 0))
 
-    def kv_map(b, kb, li, slots, starts):
+    def kv_map(b, kb, li, slots, starts, win):
         return (li[0], slots[b], 0, clamp(b, kb, starts), 0)
 
-    def tab_map(b, kb, li, slots, starts):
+    def tab_map(b, kb, li, slots, starts, win):
         return (clamp(b, kb, starts), 0)
 
     in_specs = [
@@ -247,8 +248,8 @@ def _decode_call(q5, k_new, v_new, k_all, v_all, ks_all, vs_all,
         args += [ks_all[..., None], vs_all[..., None]]
         kernel = _decode_kernel
     else:
-        kernel = lambda li, sl, st, q, kn, vn, k, v, co, si, o, a, m, l, **kw: \
-            _decode_kernel(li, sl, st, q, kn, vn, k, v, co, si, None, None,
+        kernel = lambda li, sl, st, wn, q, kn, vn, k, v, co, si, o, a, m, l, **kw: \
+            _decode_kernel(li, sl, st, wn, q, kn, vn, k, v, co, si, None, None,
                            o, a, m, l, **kw)
 
     if T != Tpad:
@@ -261,7 +262,7 @@ def _decode_call(q5, k_new, v_new, k_all, v_all, ks_all, vs_all,
             args[8] = jnp.pad(args[8], pad)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(B, n_kb),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, KH, G, D), q_map, memory_space=pltpu.VMEM),
@@ -276,7 +277,7 @@ def _decode_call(q5, k_new, v_new, k_all, v_all, ks_all, vs_all,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(q5.shape, q5.dtype),
         interpret=interpret,
-    )(jnp.asarray([li], jnp.int32), slots, starts, *args)
+    )(jnp.asarray([li], jnp.int32), slots, starts, win, *args)
 
 
 # --------------------------------------------------------------------------
@@ -284,7 +285,7 @@ def _decode_call(q5, k_new, v_new, k_all, v_all, ks_all, vs_all,
 # --------------------------------------------------------------------------
 
 def _prefill_kernel(
-    li_ref, slots_ref, starts_ref, nv_ref,  # scalar prefetch (SMEM)
+    li_ref, slots_ref, starts_ref, nv_ref, win_ref,  # scalar prefetch (SMEM)
     q_ref, kn_ref, vn_ref, k_ref, v_ref, cos_ref, sin_ref, ks_ref, vs_ref,
     out_ref,
     acc_ref, m_ref, l_ref,
@@ -327,7 +328,13 @@ def _prefill_kernel(
             ) * (1.0 / math.sqrt(D))
             s = _softcap(s, cfg)
             col = kb * Tblk + jax.lax.broadcasted_iota(jnp.int32, (RQ, Tblk), 1)
-            s = jnp.where(col < start, s, NEG_INF)
+            ok = col < start
+            w = win_ref[0]  # sliding window; 0 = global
+            row_pos = start + qb * Qblk + (
+                jax.lax.broadcasted_iota(jnp.int32, (RQ, Tblk), 0) // G
+            )
+            ok = ok & ((w <= 0) | (col > row_pos - w))
+            s = jnp.where(ok, s, NEG_INF)
             _online_update(s, vf, acc_ref, m_ref, l_ref)
 
         @pl.when(kb == last_kb)
@@ -343,6 +350,8 @@ def _prefill_kernel(
             row_t = qb * Qblk + jax.lax.broadcasted_iota(jnp.int32, (RQ, Tc), 0) // G
             col_t = jax.lax.broadcasted_iota(jnp.int32, (RQ, Tc), 1)
             ok = (col_t <= row_t) & (col_t < nv_ref[b])
+            w = win_ref[0]
+            ok = ok & ((w <= 0) | (col_t > row_t - w))
             s_new = jnp.where(ok, s_new, NEG_INF)
             _online_update(s_new, vn, acc_ref, m_ref, l_ref)
 
@@ -354,7 +363,7 @@ def _prefill_kernel(
 
 @functools.partial(jax.jit, static_argnames=("cfg", "kind", "interpret"))
 def _prefill_call(q5, k_new, v_new, k_all, v_all, ks_all, vs_all,
-                  li, slots, starts, n_valid, ga,
+                  li, slots, starts, n_valid, win, ga,
                   *, cfg: ModelConfig, kind: str, interpret: bool):
     """q5 [B, Tc, KH, G, D]; k/v_new [B, KH, Tc, D]; cache as _decode_call."""
     B, Tc, KH, G, D = q5.shape
@@ -381,10 +390,10 @@ def _prefill_call(q5, k_new, v_new, k_all, v_all, ks_all, vs_all,
     def clamp_kb(b, kb, starts):
         return jnp.minimum(kb, jnp.maximum((starts[b] + Tblk - 1) // Tblk - 1, 0))
 
-    def kv_map(b, kh, qb, kb, li, slots, starts, nv):
+    def kv_map(b, kh, qb, kb, li, slots, starts, nv, win):
         return (li[0], slots[b], kh, clamp_kb(b, kb, starts), 0)
 
-    def tab_map(b, kh, qb, kb, li, slots, starts, nv):
+    def tab_map(b, kh, qb, kb, li, slots, starts, nv, win):
         return (clamp_kb(b, kb, starts), 0)
 
     in_specs = [
@@ -405,8 +414,8 @@ def _prefill_call(q5, k_new, v_new, k_all, v_all, ks_all, vs_all,
         args += [ks_all[..., None], vs_all[..., None]]
         kernel = _prefill_kernel
     else:
-        kernel = lambda li, sl, st, nv, q, kn, vn, k, v, co, si, o, a, m, l, **kw: \
-            _prefill_kernel(li, sl, st, nv, q, kn, vn, k, v, co, si, None, None,
+        kernel = lambda li, sl, st, nv, wn, q, kn, vn, k, v, co, si, o, a, m, l, **kw: \
+            _prefill_kernel(li, sl, st, nv, wn, q, kn, vn, k, v, co, si, None, None,
                             o, a, m, l, **kw)
 
     if T != Tpad:
@@ -419,7 +428,7 @@ def _prefill_call(q5, k_new, v_new, k_all, v_all, ks_all, vs_all,
             args[8] = jnp.pad(args[8], pad)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(B, KH, n_qb, n_kb),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, Qblk, 1, G, D), q_map, memory_space=pltpu.VMEM),
@@ -435,7 +444,7 @@ def _prefill_call(q5, k_new, v_new, k_all, v_all, ks_all, vs_all,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(q5.shape, q5.dtype),
         interpret=interpret,
-    )(jnp.asarray([li], jnp.int32), slots, starts, n_valid, *args)
+    )(jnp.asarray([li], jnp.int32), slots, starts, n_valid, win, *args)
 
 
 _INTERPRET = False
@@ -450,17 +459,18 @@ def flash_attention(q, cache, li, slot_ids, q_pos, n_valid, k_new, v_new,
     q5 = q.reshape(B, Tc, KH, G, D)
     starts = q_pos[:, 0].astype(jnp.int32)
     ga = jnp.stack([jnp.asarray(ga_n, jnp.int32), jnp.asarray(ga_w, jnp.int32)])
+    win = jnp.asarray([cfg.layer_window(li)], jnp.int32)
     if Tc == 1:
         out = _decode_call(
             q5, k_new, v_new, cache.k, cache.v, cache.k_scale, cache.v_scale,
-            li, slot_ids.astype(jnp.int32), starts, ga,
+            li, slot_ids.astype(jnp.int32), starts, win, ga,
             cfg=cfg, kind=cache.kind, interpret=_INTERPRET,
         )
     else:
         out = _prefill_call(
             q5, k_new, v_new, cache.k, cache.v, cache.k_scale, cache.v_scale,
             li, slot_ids.astype(jnp.int32), starts,
-            n_valid.astype(jnp.int32), ga,
+            n_valid.astype(jnp.int32), win, ga,
             cfg=cfg, kind=cache.kind, interpret=_INTERPRET,
         )
     return out.reshape(B, Tc, H, D)

@@ -40,6 +40,10 @@ class ModelConfig:     # which jit treats as a static argument
     attn_logit_softcap: float = 0.0  # gemma2
     final_logit_softcap: float = 0.0  # gemma2
     post_norms: bool = False  # gemma2 post-attention/post-ffn norms
+    # sliding-window attention: window size (0 = disabled) applied on
+    # even-indexed layers when swa_alternate (gemma2's local/global pattern)
+    sliding_window: int = 0
+    swa_alternate: bool = False
     rope_scaling: float = 1.0
     extra: dict = field(default_factory=dict)
 
@@ -88,4 +92,17 @@ class ModelConfig:     # which jit treats as a static argument
         scale = md.get(f"{arch}.rope.scaling.factor")
         if scale:
             cfg.rope_scaling = float(scale)
+        sw = g("attention.sliding_window")
+        if sw:
+            cfg.sliding_window = int(sw)
+            cfg.swa_alternate = arch == "gemma2"
         return cfg
+
+    def layer_window(self, li: int) -> int:
+        """Sliding window for layer li (0 = global). gemma2 alternates:
+        even-indexed layers are local (matches HF Gemma2 is_sliding)."""
+        if self.sliding_window <= 0:
+            return 0
+        if self.swa_alternate and li % 2 == 1:
+            return 0
+        return self.sliding_window

@@ -129,6 +129,17 @@ def attention_reference(
     mask_new = (t_rel[None, None, :] <= t_rel[None, :, None]) & (
         t_rel[None, None, :] < n_valid[:, None, None]
     )  # [B, Tc(q), Tc(kv)]
+    window = cfg.layer_window(li)
+    if window > 0:
+        # sliding-window attention (gemma2 local layers): key position
+        # must be within [q_pos - window + 1, q_pos]
+        mask_cache = mask_cache & (
+            cell[:, None, :] > q_pos[..., None] - window
+        )
+        mask_new = mask_new & (
+            (start[:, None, None] + t_rel[None, None, :])
+            > (start[:, None, None] + t_rel[None, :, None]) - window
+        )
     mask = jnp.concatenate([mask_cache, jnp.broadcast_to(mask_new, (B, Tc, Tc))],
                            axis=2)
     scores = jnp.where(mask[:, :, None, None, :], scores, NEG_INF)

@@ -102,6 +102,8 @@ def hf_llama_to_gguf(
               float(getattr(cfg, "attn_logit_softcapping", 50.0)))
         w.add("gemma2.final_logit_softcapping",
               float(getattr(cfg, "final_logit_softcapping", 30.0)))
+        w.add("gemma2.attention.sliding_window",
+              int(getattr(cfg, "sliding_window", 4096)))
 
     put("token_embd.weight", sd["model.embed_tokens.weight"])
     put("output_norm.weight", sd["model.norm.weight"])
