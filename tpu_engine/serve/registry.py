@@ -91,7 +91,10 @@ class EngineRegistry:
             from ..kernels import dequant_matmul as _dm
 
             _dm.enable()
-        flash_attn = bool(body.get("flash_attn", False))
+        # default ON for TPU: the Pallas kernels are strictly faster than
+        # XLA attention here (the reference defaults false for CUDA
+        # edge-case reasons that don't apply)
+        flash_attn = bool(body.get("flash_attn", True))
         if cache_type != "f16":
             # reference force-enables flash attention for quantized KV
             # (llama_engine.cc:639-647)
