@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 PRESET = os.environ.get("BENCH_PRESET", "tinyllama-1.1b")
 QUANT = os.environ.get("BENCH_QUANT", "q4_k_m")
 N_PARALLEL = int(os.environ.get("BENCH_PARALLEL", "8"))
-N_PREDICT = int(os.environ.get("BENCH_TOKENS", "96"))
+N_PREDICT = int(os.environ.get("BENCH_TOKENS", "256"))
 CTX = int(os.environ.get("BENCH_CTX", "4096"))
 # v5e HBM bandwidth (public spec: ~819 GB/s per chip)
 HBM_BW = float(os.environ.get("BENCH_HBM_BW_GBPS", "819")) * 1e9
@@ -35,6 +35,11 @@ def main() -> int:
         logging.basicConfig(level=logging.INFO, stream=sys.stderr,
                             format="%(relativeCreated)8.0fms %(message)s")
     import jax
+
+    from tpu_engine.utils.jaxinit import setup_compilation_cache
+
+    setup_compilation_cache(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_cache", "xla"))
 
     if os.environ.get("BENCH_PALLAS", "1") == "1" and jax.devices()[0].platform == "tpu":
         from tpu_engine.kernels import dequant_matmul, flash_attention

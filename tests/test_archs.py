@@ -44,7 +44,7 @@ def tiny_gemma2(seed=12):
         intermediate_size=128, max_position_embeddings=2048,
         rms_norm_eps=1e-6, rope_theta=10000.0,
         attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
-        query_pre_attn_scalar=32,  # == head_dim so scaling matches 1/sqrt(D)
+        query_pre_attn_scalar=16,  # != head_dim (32): exercises attn_scale
         sliding_window=4096,  # larger than any test sequence
         attn_implementation="eager",
     )

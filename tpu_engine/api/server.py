@@ -131,6 +131,8 @@ class Handler(BaseHTTPRequestHandler):
                 self._handle_unloadmodel()
             elif self.path == "/modelstatus":
                 self._handle_modelstatus()
+            elif self.path == "/stopinferencing":
+                self._handle_stop_inferencing()
             elif self.path == "/v1/chat/completions":
                 self._handle_chat()
             elif self.path == "/v1/embeddings":
@@ -176,6 +178,21 @@ class Handler(BaseHTTPRequestHandler):
                              "message": f"Model {model_id} has not been loaded"}, 409)
         else:
             self._send_json(st)
+
+    def _handle_stop_inferencing(self):
+        """Reference ABI verb StopInferencing (enginei.h:54-62,
+        llama_engine.cc:506-508,1278-1298): flag the model so in-flight
+        streams cancel at their next result poll."""
+        body = self._body()
+        if body is None:
+            return
+        model_id = get_model_id(body)
+        if self.registry.check_loaded(model_id) is None:
+            self._send_json({
+                "error": f"Model {model_id} has not been loaded"}, 409)
+            return
+        self.registry.stop_inferencing(model_id)
+        self._send_json({"message": f"Stopping inference of model {model_id}"})
 
     # -- inference endpoints ----------------------------------------------------
     def _handle_chat(self):
@@ -307,11 +324,21 @@ def make_server(host: str, port: int) -> ThreadingHTTPServer:
 
 
 def main(argv=None) -> int:
+    import os
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=3928)
     ap.add_argument("--log-level", default="INFO")
+    ap.add_argument("--platform", default=os.environ.get("TPU_ENGINE_PLATFORM", ""),
+                    help="force a JAX platform (e.g. cpu); needed because "
+                         "some containers preimport jax before JAX_PLATFORMS "
+                         "is read")
     args = ap.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     logging.basicConfig(level=args.log_level.upper(),
                         format="%(asctime)s %(levelname)s %(name)s %(message)s")
     srv = make_server(args.host, args.port)

@@ -161,7 +161,7 @@ def _decode_kernel(
             s = jax.lax.dot_general(
                 qx, kf, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * (1.0 / math.sqrt(D))
+            ) * cfg.attention_scale()
             s = _softcap(s, cfg)
 
             row_head = jax.lax.broadcasted_iota(jnp.int32, (RQ, C), 0) // G
@@ -181,7 +181,7 @@ def _decode_kernel(
             s_new = jax.lax.dot_general(
                 qx, kn, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * (1.0 / math.sqrt(D))
+            ) * cfg.attention_scale()
             s_new = _softcap(s_new, cfg)
             row_head = jax.lax.broadcasted_iota(jnp.int32, (RQ, KH), 0) // G
             col = jax.lax.broadcasted_iota(jnp.int32, (RQ, KH), 1)
@@ -325,7 +325,7 @@ def _prefill_kernel(
             s = jax.lax.dot_general(
                 qx, kf, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * (1.0 / math.sqrt(D))
+            ) * cfg.attention_scale()
             s = _softcap(s, cfg)
             col = kb * Tblk + jax.lax.broadcasted_iota(jnp.int32, (RQ, Tblk), 1)
             ok = col < start
@@ -345,7 +345,7 @@ def _prefill_kernel(
             s_new = jax.lax.dot_general(
                 qx, kn, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * (1.0 / math.sqrt(D))
+            ) * cfg.attention_scale()
             s_new = _softcap(s_new, cfg)
             row_t = qb * Qblk + jax.lax.broadcasted_iota(jnp.int32, (RQ, Tc), 0) // G
             col_t = jax.lax.broadcasted_iota(jnp.int32, (RQ, Tc), 1)

@@ -45,7 +45,14 @@ class ModelConfig:     # which jit treats as a static argument
     sliding_window: int = 0
     swa_alternate: bool = False
     rope_scaling: float = 1.0
+    # attention logit scale; 0 -> the default 1/sqrt(head_dim). gemma2-27b
+    # scales queries by 1/sqrt(n_embd/n_head)=1/sqrt(144) instead (llama.cpp
+    # keys this off MODEL_27B; HF query_pre_attn_scalar=144)
+    attn_scale: float = 0.0
     extra: dict = field(default_factory=dict)
+
+    def attention_scale(self) -> float:
+        return self.attn_scale if self.attn_scale > 0 else self.head_dim ** -0.5
 
     @property
     def gqa_groups(self) -> int:
@@ -96,6 +103,13 @@ class ModelConfig:     # which jit treats as a static argument
         if sw:
             cfg.sliding_window = int(sw)
             cfg.swa_alternate = arch == "gemma2"
+        # explicit query scale wins; else the gemma2-27b shape (n_embd 4608)
+        # uses 1/sqrt(n_embd/n_head) like llama.cpp's MODEL_27B switch
+        qpas = g("attention.query_pre_attn_scalar")
+        if qpas:
+            cfg.attn_scale = float(qpas) ** -0.5
+        elif arch == "gemma2" and n_embd == 4608:
+            cfg.attn_scale = (n_embd / n_head) ** -0.5
         return cfg
 
     def layer_window(self, li: int) -> int:

@@ -117,7 +117,7 @@ def attention_reference(
     vf = jnp.concatenate([vf, jnp.swapaxes(v_new, 1, 2).astype(jnp.float32)], axis=1)
 
     qf = q.reshape(B, Tc, KH, G, D).astype(jnp.float32)
-    scores = jnp.einsum("btkgd,bukd->btkgu", qf, kf) / jnp.sqrt(D).astype(jnp.float32)
+    scores = jnp.einsum("btkgd,bukd->btkgu", qf, kf) * jnp.float32(cfg.attention_scale())
     if cfg.attn_logit_softcap > 0:
         c = cfg.attn_logit_softcap
         scores = jnp.tanh(scores / c) * c
@@ -338,7 +338,10 @@ def decode_loop(
         nxt, st = sample_step(logits, samp_params, st)
         return (cache, nxt, st), nxt
 
-    (cache, _, samp_state), toks = jax.lax.scan(
+    (cache, last, samp_state), toks = jax.lax.scan(
         body, (cache, tokens, samp_state), None, length=n_inner
     )
-    return toks.T, cache, samp_state  # [S, n_inner]
+    # `last` (== toks[:, -1]) is returned as its own small device array so
+    # the serving loop can feed the next chunk without an eager slice op
+    # (first use of an eager op costs a ~2 s compile on remote runtimes)
+    return toks.T, last, cache, samp_state  # [S, n_inner], [S]

@@ -74,6 +74,9 @@ class InferenceEngine:
         prefill_buckets=PREFILL_BUCKETS,
         decode_chunk: int | None = None,
     ):
+        from ..utils.jaxinit import setup_compilation_cache
+
+        setup_compilation_cache()
         self.model = model
         self.cfg = model.cfg
         self.tok = model.tokenizer
@@ -107,7 +110,7 @@ class InferenceEngine:
         self._dev_sig = None
         self._dev_params = None
         self._dev_state: DeviceSamplerState | None = None
-        self._last_toks_dev = None
+        self._last_tok_dev = None
 
         # system-prompt KV prefix shared by all slots (reference
         # system_prompt/system_tokens, llama_server_context.cc:643-666)
@@ -178,7 +181,7 @@ class InferenceEngine:
     def warm_up(self, n_predict: int = 2) -> None:
         """Compile the hot executables before serving (reference WarmUpModel,
         llama_engine.cc:1247-1267): every prefill bucket that fits the slot
-        context, plus the batched decode path (first compile of a config is
+        context, plus the batched decode paths (first compile of a config is
         tens of seconds on TPU — it must not land in a user request)."""
         bos = self.tok.bos_id if self.tok.bos_id >= 0 else 0
         tids = []
@@ -189,11 +192,28 @@ class InferenceEngine:
                 prompt=[bos] * b, n_predict=n_predict, cache_prompt=False)
             params.sampling.temperature = 0.0
             tids.append(self.request_completion(params))
+        # the bucket requests also compile the device-sampled decode chunk
+        # (decode_loop) and its token pull; the chunk-continue path reuses
+        # the same executable (decode_loop returns the next feed token)
         for tid in tids:
             while True:
                 r = self.next_result(tid)
                 if r.stop or r.error:
                     break
+        self._warm_single_decode()
+
+    def _warm_single_decode(self) -> None:
+        """Compile the [S, 1] host-sampled decode step (used for grammar /
+        non-device-compatible sampling): run it with every row inactive so
+        the cache is untouched."""
+        S = self.n_parallel
+        logits, self.cache, _ = forward_step(
+            self.model.weights, self.cache,
+            jnp.zeros((S, 1), jnp.int32), jnp.arange(S, dtype=jnp.int32),
+            jnp.zeros((S,), bool), self.cfg,
+            ga_n=self.ga_n, ga_w=self.ga_w,
+        )
+        np.asarray(self._extract(logits))
 
     # ------------------------------------------------------------- internals
     def _emit(self, task_id: int, res: TaskResult) -> None:
@@ -204,9 +224,12 @@ class InferenceEngine:
 
     def _loop(self) -> None:
         self._kv_clear_requested = False
+        t_prev_end = 0.0
         while self._running:
             try:
+                t_it = time.time()
                 self._process_tasks()
+                t_tasks = time.time()
                 busy = any(s.is_processing() for s in self.slots)
                 if not busy:
                     if self._kv_clear_requested:
@@ -224,6 +247,13 @@ class InferenceEngine:
                             self._wake.wait(timeout=0.5)
                     continue
                 self._update_slots()
+                if self._trace:
+                    t_end = time.time()
+                    log.info(
+                        "iter gap=%.0fms tasks=%.0fms slots=%.0fms",
+                        (t_it - t_prev_end) * 1000 if t_prev_end else 0.0,
+                        (t_tasks - t_it) * 1000, (t_end - t_tasks) * 1000)
+                    t_prev_end = t_end
             except Exception as e:  # engine-level failure: fail all active slots
                 log.error("engine loop error: %s\n%s", e, traceback.format_exc())
                 for s in self.slots:
@@ -688,6 +718,7 @@ class InferenceEngine:
         per chunk. Stop/budget/streaming semantics stay host-side; overrun
         cells of slots that stop mid-chunk are trimmed back."""
         S = self.n_parallel
+        t_prep = time.time()
         sig = tuple(sorted((s.id, s.task_id) for s in gen))
         active_np = np.zeros((S,), bool)
         for s in gen:
@@ -708,21 +739,21 @@ class InferenceEngine:
             tokens_dev = jnp.asarray(pending)
             self._dev_sig = sig
         else:
-            tokens_dev = self._last_toks_dev[:, -1]
+            tokens_dev = self._last_tok_dev
 
         t0 = time.time()
-        toks_dev, self.cache, self._dev_state = decode_loop(
+        toks_dev, self._last_tok_dev, self.cache, self._dev_state = decode_loop(
             self.model.weights, self.cache, tokens_dev,
             jnp.asarray(active_np), self.cfg,
             self._dev_params, self._dev_state, n_inner,
             ga_n=self.ga_n, ga_w=self.ga_w,
         )
-        self._last_toks_dev = toks_dev
         t1 = time.time()
         toks = np.asarray(self._extract(toks_dev))  # the single D2H pull
         if self._trace:
-            log.info("decode_multi n=%d dispatch=%.0fms pull=%.0fms sig_new=%s",
-                     n_inner, (t1 - t0) * 1000, (time.time() - t1) * 1000,
+            log.info("decode_multi n=%d prep=%.0fms dispatch=%.0fms pull=%.0fms sig_new=%s",
+                     n_inner, (t0 - t_prep) * 1000,
+                     (t1 - t0) * 1000, (time.time() - t1) * 1000,
                      sig != getattr(self, "_trace_prev_sig", None))
             self._trace_prev_sig = sig
 

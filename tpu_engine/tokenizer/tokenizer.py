@@ -17,11 +17,13 @@ common_token_to_piece at :75, vocab probing at :235-239, FIM specials at
 
 from __future__ import annotations
 
-import re
+import heapq
 from dataclasses import dataclass, field
 from enum import IntEnum
 
 import numpy as np
+
+from .pretokenizers import PreTokenizer
 
 
 class TokenType(IntEnum):
@@ -50,13 +52,6 @@ def _gpt2_byte_to_unicode() -> dict[int, str]:
 _BYTE_TO_UNI = _gpt2_byte_to_unicode()
 _UNI_TO_BYTE = {v: k for k, v in _BYTE_TO_UNI.items()}
 
-# GPT-2 pre-tokenization regex (public). Most "pre" variants refine this;
-# we use the gpt2 default which is correct for the common model families.
-_GPT2_SPLIT = re.compile(
-    r"""'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+""",
-    re.UNICODE,
-)
-
 SPIECE_UNDERLINE = "▁"  # ▁
 
 
@@ -67,6 +62,7 @@ class Tokenizer:
     scores: np.ndarray | None
     token_types: np.ndarray
     merges: list[str] = field(default_factory=list)
+    pre: str = "default"  # tokenizer.ggml.pre split-regex variant
     bos_id: int = -1
     eos_id: int = -1
     eot_id: int = -1
@@ -103,6 +99,14 @@ class Tokenizer:
             self._merge_rank = {
                 tuple(m.split(" ", 1)): r for r, m in enumerate(self.merges)
             }
+            self._pre = PreTokenizer(self.pre)
+            if not self._pre.known and self.pre not in ("", "default"):
+                import logging
+
+                logging.getLogger("tpu_engine.tokenizer").warning(
+                    "unknown tokenizer.ggml.pre %r: using the gpt2 default "
+                    "split regex (tokenization may differ from llama.cpp)",
+                    self.pre)
         self._eog_extra = {
             self._piece_to_id[p]
             for p in ("<|eot_id|>", "<|im_end|>", "<|end|>", "<end_of_turn>",
@@ -134,6 +138,7 @@ class Tokenizer:
             scores=scores,
             token_types=tt,
             merges=merges,
+            pre=str(md.get("tokenizer.ggml.pre", "default")),
             bos_id=_id("bos_token_id"),
             eos_id=_id("eos_token_id"),
             eot_id=_id("eot_token_id"),
@@ -233,30 +238,57 @@ class Tokenizer:
 
     # SentencePiece-style greedy score merges -------------------------------
     def _encode_spm(self, text: str) -> list[int]:
+        """Highest-score bigram merging with a lazy-invalidation heap
+        (the llm_tokenizer_spm pattern): O(L log L) instead of rescanning
+        every adjacent pair per merge — a multi-KB prompt must not stall
+        the engine thread."""
         if self.add_space_prefix and text and not text.startswith(" "):
             text = " " + text
         text = text.replace(" ", SPIECE_UNDERLINE)
-        symbols = list(text)
-        if not symbols:
+        if not text:
             return []
         scores = self.scores
-        # greedy: repeatedly merge the adjacent pair with the best score
-        while len(symbols) > 1:
-            best = None
-            for i in range(len(symbols) - 1):
-                cand = symbols[i] + symbols[i + 1]
-                tid = self._piece_to_id.get(cand)
-                if tid is None or tid in self._special_ids:
-                    continue
-                s = float(scores[tid]) if scores is not None else -len(cand)
-                if best is None or s > best[0]:
-                    best = (s, i, cand)
-            if best is None:
-                break
-            _, i, cand = best
-            symbols[i : i + 2] = [cand]
+
+        # doubly-linked symbol list: (piece, prev, next); -1 terminates
+        syms: list[list] = [[ch, i - 1, i + 1] for i, ch in enumerate(text)]
+        syms[-1][2] = -1
+        heap: list[tuple[float, int, int, str]] = []  # (-score, left, right, merged)
+
+        def try_pair(li: int, ri: int) -> None:
+            if li < 0 or ri < 0:
+                return
+            cand = syms[li][0] + syms[ri][0]
+            tid = self._piece_to_id.get(cand)
+            if tid is None or tid in self._special_ids:
+                return
+            s = float(scores[tid]) if scores is not None else -len(cand)
+            heapq.heappush(heap, (-s, li, ri, cand))
+
+        for i in range(len(syms) - 1):
+            try_pair(i, i + 1)
+
+        while heap:
+            _, li, ri, cand = heapq.heappop(heap)
+            # lazy invalidation: either side may have been merged away
+            if syms[li][0] is None or syms[ri][0] is None:
+                continue
+            if syms[li][0] + syms[ri][0] != cand or syms[li][2] != ri:
+                continue
+            syms[li][0] = cand
+            syms[ri][0] = None  # right side absorbed
+            syms[li][2] = syms[ri][2]
+            if syms[ri][2] >= 0:
+                syms[syms[ri][2]][1] = li
+            try_pair(syms[li][1], li)
+            try_pair(li, syms[li][2])
+
         ids: list[int] = []
-        for sym in symbols:
+        i = 0
+        while i >= 0:
+            sym = syms[i][0]
+            i = syms[i][2]
+            if sym is None:
+                continue
             tid = self._piece_to_id.get(sym)
             if tid is not None and tid not in self._special_ids:
                 ids.append(tid)
@@ -273,8 +305,15 @@ class Tokenizer:
     # GPT-2 byte-level BPE --------------------------------------------------
     def _encode_bpe(self, text: str) -> list[int]:
         ids: list[int] = []
-        for piece in _GPT2_SPLIT.findall(text):
+        for piece in self._pre.split(text):
             mapped = "".join(_BYTE_TO_UNI[b] for b in piece.encode("utf-8"))
+            if self._pre.ignore_merges:
+                # llama3-family: a word already in the vocab is emitted
+                # whole without running merges
+                tid = self._piece_to_id.get(mapped)
+                if tid is not None:
+                    ids.append(tid)
+                    continue
             for word in self._bpe_merge(mapped):
                 tid = self._piece_to_id.get(word)
                 if tid is not None:

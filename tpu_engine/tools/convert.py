@@ -104,6 +104,12 @@ def hf_llama_to_gguf(
               float(getattr(cfg, "final_logit_softcapping", 30.0)))
         w.add("gemma2.attention.sliding_window",
               int(getattr(cfg, "sliding_window", 4096)))
+        # not in llama.cpp's gemma2 GGUF spec (it keys the 27B scale off
+        # model size); we persist it so attention scaling is exact for any
+        # query_pre_attn_scalar (config.py falls back to the 4608 rule)
+        qpas = getattr(cfg, "query_pre_attn_scalar", None)
+        if qpas:
+            w.add("gemma2.attention.query_pre_attn_scalar", float(qpas))
 
     put("token_embd.weight", sd["model.embed_tokens.weight"])
     put("output_norm.weight", sd["model.norm.weight"])

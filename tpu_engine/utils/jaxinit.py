@@ -1,0 +1,55 @@
+"""Process-wide JAX runtime setup.
+
+The reference pays llama.cpp's model-load cost once per /loadmodel; our
+analog of its "backend init" (llama_backend_init,
+/root/reference/src/llama_engine.cc:687-703) plus the TPU-specific
+compile-time problem the reference never had: XLA compiles each
+(bucket, batch) executable on first use, which cost 680 s of warm-up in
+round 1. The persistent compilation cache makes every re-load of the same
+config hit disk instead of the compiler.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import threading
+
+log = logging.getLogger("tpu_engine.jaxinit")
+
+_lock = threading.Lock()
+_done = False
+
+DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/tpu_engine/xla")
+
+
+def setup_compilation_cache(path: str | None = None) -> str | None:
+    """Enable JAX's persistent compilation cache (idempotent).
+
+    Resolution order: explicit arg > $TPU_ENGINE_COMPILE_CACHE >
+    ~/.cache/tpu_engine/xla. Set TPU_ENGINE_COMPILE_CACHE=0 to disable.
+    Returns the cache dir in use, or None when disabled.
+    """
+    global _done
+    with _lock:
+        env = os.environ.get("TPU_ENGINE_COMPILE_CACHE", "")
+        if env == "0":
+            return None
+        cache_dir = path or env or DEFAULT_CACHE_DIR
+        if _done:
+            return cache_dir
+        import jax
+
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            # default min compile time is 1s; our executables all qualify,
+            # but keep small ones too (trim/extract helpers)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        except Exception as e:  # never fatal: cache is an optimization
+            log.warning("compilation cache unavailable: %s", e)
+            return None
+        _done = True
+        log.info("persistent compilation cache at %s", cache_dir)
+        return cache_dir
