@@ -97,8 +97,8 @@ def test_stop_word(engine):
     # discover the natural greedy output, then use a substring as stop word
     tid = engine.request_completion(greedy(prompt="hello world", n=8))
     _, base = collect(engine, tid)
-    if len(base.text) < 3:
-        pytest.skip("output too short to carve a stop word")
+    # deterministic: seed=3 synthetic model always yields enough text
+    assert len(base.text) >= 3
     stop = base.text[2:4]
     p = greedy(prompt="hello world", n=8)
     p.stop = [stop]
@@ -113,8 +113,7 @@ def test_stop_word(engine):
 def test_stream_stop_word_holdback(engine):
     tid = engine.request_completion(greedy(prompt="hello world", n=8))
     _, base = collect(engine, tid)
-    if len(base.text) < 4:
-        pytest.skip("output too short")
+    assert len(base.text) >= 4
     stop = base.text[3:5]
     p = greedy(prompt="hello world", n=8)
     p.stop = [stop]
@@ -266,8 +265,7 @@ def test_multi_step_with_stop_word(tmp_path_factory):
     try:
         tid = engine_req(eng, "hello world", 12)
         _, base = collect(eng, tid)
-        if len(base.text) < 4:
-            pytest.skip("too short")
+        assert len(base.text) >= 4
         stop = base.text[2:4]
         p = greedy(prompt="hello world", n=12)
         p.stop = [stop]

@@ -173,3 +173,43 @@ def test_spm_vocab_masking():
     hid = tok._piece_to_id["hello"]
     assert mask[hid]
     assert not mask[tok._piece_to_id["▁hello"]]  # leading space not in grammar
+
+
+def test_byte_fallback_multibyte_grammar():
+    """Byte-fallback tokens must match true code points across token
+    boundaries (llama.cpp partial-UTF-8 semantics), not latin-1 U+00XX."""
+    tok = make_spm_vocab()
+
+    def btid(b: int) -> int:
+        return 3 + b  # <0xNN> byte-fallback token ids
+
+    # Greek lowercase alpha..omega = U+03B1..U+03C9 (UTF-8: CE B1 .. CF 89)
+    m = build_matcher("root ::= [\\u03b1-\\u03c9]\n", tok)
+    mask = m.allowed_mask()
+    assert mask[btid(0xCE)] and mask[btid(0xCF)]  # lead bytes of the range
+    assert not mask[btid(0xC3)]  # U+00C0.. lead: no Greek completion
+    assert not mask[tok._piece_to_id["h"]]  # plain ascii not allowed
+    m.accept(btid(0xCE))
+    mask = m.allowed_mask()
+    assert mask[btid(0xB1)]  # completes U+03B1 (alpha)
+    assert not mask[btid(0x80)]  # would complete U+0380, outside class
+    assert not mask[tok.eos_id]  # cannot stop mid-character
+    assert not m.can_stop()
+    m.accept(btid(0xB1))
+    assert m.done()
+
+
+def test_byte_fallback_negated_class():
+    tok = make_spm_vocab()
+
+    def btid(b: int) -> int:
+        return 3 + b
+
+    # anything but 'x': multibyte characters are fine and must be allowed
+    m = build_matcher('root ::= [^x]\n', tok)
+    mask = m.allowed_mask()
+    assert mask[btid(0xCE)]  # lead byte of a 2-byte char can complete
+    assert not mask[tok._piece_to_id["x"]] if "x" in tok._piece_to_id else True
+    m.accept(btid(0xCE))
+    m.accept(btid(0xB1))  # U+03B1 != 'x'
+    assert m.done()

@@ -330,6 +330,10 @@ def main(argv=None) -> int:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=3928)
     ap.add_argument("--log-level", default="INFO")
+    ap.add_argument("--log-file", default="",
+                    help="write logs to a circular (line-capped) file, like "
+                         "the reference's FileLogger")
+    ap.add_argument("--max-log-lines", type=int, default=100_000)
     ap.add_argument("--platform", default=os.environ.get("TPU_ENGINE_PLATFORM", ""),
                     help="force a JAX platform (e.g. cpu); needed because "
                          "some containers preimport jax before JAX_PLATFORMS "
@@ -342,6 +346,9 @@ def main(argv=None) -> int:
     logging.basicConfig(level=args.log_level.upper(),
                         format="%(asctime)s %(levelname)s %(name)s %(message)s")
     srv = make_server(args.host, args.port)
+    if args.log_file:
+        srv.registry.set_file_logger(  # type: ignore[attr-defined]
+            args.max_log_lines, args.log_file)
     log.info("tpu-engine server listening on %s:%d", args.host, args.port)
     try:
         srv.serve_forever()

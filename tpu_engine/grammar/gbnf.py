@@ -234,8 +234,75 @@ def _match(elem: tuple, cp: int) -> bool:
     return hit if kind == "char" else not hit
 
 
+_NO_PARTIAL = (0, 0, 0)
+
+
+def _utf8_step(partial: tuple, b: int):
+    """Feed one byte into a UTF-8 accumulator state (value, n_remain, min_cp).
+
+    Returns (codepoint|None, new_partial); codepoint is set when the byte
+    completes a character. Raises ValueError on malformed sequences
+    (including overlong encodings: min_cp is the encoding-class minimum).
+    This is the grammar-side mirror of llama.cpp's decode_utf8-with-partial-
+    state (consumed via sparams.grammar,
+    /root/reference/src/llama_server_context.cc:473): byte-fallback tokens
+    deliver ONE raw byte of a multibyte character per token, so the matcher
+    must carry decode state across token boundaries instead of mis-mapping
+    each byte to U+00XX.
+    """
+    value, n_remain, min_cp = partial
+    if n_remain == 0:
+        if b < 0x80:
+            return b, _NO_PARTIAL
+        if 0xC2 <= b < 0xE0:  # C0/C1 would always be overlong
+            return None, (b & 0x1F, 1, 0x80)
+        if 0xE0 <= b < 0xF0:
+            return None, (b & 0x0F, 2, 0x800)
+        if 0xF0 <= b < 0xF5:  # F5.. would exceed U+10FFFF
+            return None, (b & 0x07, 3, 0x10000)
+        raise ValueError("invalid UTF-8 lead byte")
+    if 0x80 <= b < 0xC0:
+        value = (value << 6) | (b & 0x3F)
+        n_remain -= 1
+        if n_remain == 0:
+            if value < min_cp or value > 0x10FFFF:
+                raise ValueError("overlong or out-of-range UTF-8")
+            return value, _NO_PARTIAL
+        return None, (value, n_remain, min_cp)
+    raise ValueError("invalid UTF-8 continuation byte")
+
+
+def _match_partial(elem: tuple, partial: tuple) -> bool:
+    """Could ANY codepoint completing `partial` match `elem`?
+
+    A partial sequence (value, k continuation bytes remaining) can complete to
+    any codepoint in [value << 6k, (value+1) << 6k), clamped to the valid
+    range [min_cp, 0x10FFFF] so overlong prefixes can't fake ASCII matches.
+    """
+    kind, ranges = elem
+    value, k, min_cp = partial
+    lo_i = max(value << (6 * k), min_cp)
+    hi_i = min(((value + 1) << (6 * k)) - 1, 0x10FFFF)
+    if lo_i > hi_i:
+        return False
+    if kind == "char":
+        return any(lo <= hi_i and hi >= lo_i for lo, hi in ranges)
+    # negated class: possible unless the ranges fully cover the interval
+    overlap = sorted(
+        (max(lo, lo_i), min(hi, hi_i)) for lo, hi in ranges if lo <= hi_i and hi >= lo_i
+    )
+    cov = lo_i
+    for lo, hi in overlap:
+        if lo > cov:
+            return True
+        cov = max(cov, hi + 1)
+    return cov <= hi_i
+
+
 class _VocabTrie:
-    """Trie over token piece code points; built once per (tokenizer)."""
+    """Trie over token piece BYTES; built once per (tokenizer). Byte edges —
+    UTF-8 decoding happens during the walk so byte-fallback tokens that split
+    a character across tokens are matched against true code points."""
 
     __slots__ = ("children", "tokens")
 
@@ -250,17 +317,12 @@ class _VocabTrie:
             piece = tok.piece_bytes(tid, special=False)
             if not piece:
                 continue
-            try:
-                s = piece.decode("utf-8")
-            except UnicodeDecodeError:
-                s = piece.decode("latin-1")  # byte tokens: approximate as U+00XX
             node = root
-            for ch in s:
-                cp = ord(ch)
-                nxt = node.children.get(cp)
+            for b in piece:
+                nxt = node.children.get(b)
                 if nxt is None:
                     nxt = cls()
-                    node.children[cp] = nxt
+                    node.children[b] = nxt
                 node = nxt
             node.tokens.append(tid)
         return root
@@ -282,6 +344,7 @@ class GrammarMatcher:
 
     def reset(self) -> None:
         self.stacks = self._expand((("ref", self.root_id),))
+        self.partial = _NO_PARTIAL  # carried UTF-8 accumulator
 
     # stacks: frozenset of tuples of elements; TOP OF STACK IS THE LAST entry
     def _expand(self, stack: tuple) -> set:
@@ -316,42 +379,62 @@ class GrammarMatcher:
                 out |= self._expand(st[:-1])
         return out
 
+    def _can_partial(self, stacks: set, partial: tuple) -> bool:
+        return any(st and _match_partial(st[-1], partial) for st in stacks)
+
     # -- public API ----------------------------------------------------------
     def accept(self, token_id: int) -> None:
         piece = self.tok.piece_bytes(int(token_id), special=False)
-        if not piece:
-            return
-        try:
-            s = piece.decode("utf-8")
-        except UnicodeDecodeError:
-            s = piece.decode("latin-1")
-        for ch in s:
-            nxt = self._advance(self.stacks, ord(ch))
-            if not nxt:
-                return  # token was not grammar-legal (e.g. forced); freeze
-            self.stacks = nxt
+        for b in piece:
+            try:
+                cp, npart = _utf8_step(self.partial, b)
+            except ValueError:
+                return  # malformed byte (e.g. forced token); freeze
+            if cp is None:
+                if not self._can_partial(self.stacks, npart):
+                    return  # no completion can be grammar-legal; freeze
+                self.partial = npart
+            else:
+                nxt = self._advance(self.stacks, cp)
+                if not nxt:
+                    return  # token was not grammar-legal (e.g. forced); freeze
+                self.stacks = nxt
+                self.partial = _NO_PARTIAL
 
     def done(self) -> bool:
         """True when only the completed parse remains."""
-        return all(not st for st in self.stacks) and bool(self.stacks)
+        return (
+            self.partial[1] == 0
+            and all(not st for st in self.stacks)
+            and bool(self.stacks)
+        )
 
     def can_stop(self) -> bool:
-        return any(not st for st in self.stacks)
+        return self.partial[1] == 0 and any(not st for st in self.stacks)
 
     def allowed_mask(self) -> np.ndarray:
         """Boolean mask [n_vocab] of tokens whose piece extends some parse."""
         mask = np.zeros(self.tok.n_tokens, dtype=bool)
-        # walk the vocab trie in lockstep with the automaton
-        work = [(self.trie, self.stacks)]
+        # walk the byte trie in lockstep with the automaton + UTF-8 state
+        work = [(self.trie, self.stacks, self.partial)]
         while work:
-            node, stacks = work.pop()
+            node, stacks, partial = work.pop()
             if node.tokens:
                 for t in node.tokens:
                     mask[t] = True
-            for cp, child in node.children.items():
-                nxt = self._advance(stacks, cp)
-                if nxt:
-                    work.append((child, nxt))
+            for b, child in node.children.items():
+                try:
+                    cp, npart = _utf8_step(partial, b)
+                except ValueError:
+                    continue
+                if cp is None:
+                    # mid-character: descend iff some completion could match
+                    if self._can_partial(stacks, npart):
+                        work.append((child, stacks, npart))
+                else:
+                    nxt = self._advance(stacks, cp)
+                    if nxt:
+                        work.append((child, nxt, _NO_PARTIAL))
         if self.can_stop():
             for t in (self.tok.eos_id, self.tok.eot_id, self.tok.eom_id):
                 if t is not None and t >= 0:

@@ -24,6 +24,18 @@ _LIB = None
 _TRIED = False
 
 _SO_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "libteconvert.so")
+_SRC_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "convert.cc")
+
+
+def _needs_build() -> bool:
+    """The library is never shipped prebuilt (it is gitignored); rebuild
+    whenever the source is newer so a stale binary can't shadow convert.cc."""
+    if not os.path.exists(_SO_PATH):
+        return True
+    try:
+        return os.path.getmtime(_SRC_PATH) > os.path.getmtime(_SO_PATH)
+    except OSError:
+        return True
 
 
 def _load() -> ctypes.CDLL | None:
@@ -31,10 +43,10 @@ def _load() -> ctypes.CDLL | None:
     if _TRIED:
         return _LIB
     _TRIED = True
-    if not os.path.exists(_SO_PATH):
+    if _needs_build():
         try:  # build on first use (g++ is in the image)
             subprocess.run(
-                ["make", "-C", os.path.dirname(_SO_PATH)],
+                ["make", "-B", "-C", os.path.dirname(_SO_PATH)],
                 check=True, capture_output=True, timeout=120,
             )
         except Exception as e:

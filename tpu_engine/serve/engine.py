@@ -110,6 +110,9 @@ class InferenceEngine:
         self._dev_sig = None
         self._dev_params = None
         self._dev_state: DeviceSamplerState | None = None
+        # Fresh entropy per engine so unseeded requests don't reproduce the
+        # same streams across server restarts (reference seeds randomly too).
+        self._dev_seed = int.from_bytes(os.urandom(4), "little")
         self._last_tok_dev = None
 
         # system-prompt KV prefix shared by all slots (reference
@@ -312,11 +315,9 @@ class InferenceEngine:
         if not free:
             return None
         p = task.params if task else None
-        if p is not None and p.cache_prompt and isinstance(p.prompt, (str, list)):
-            if isinstance(p.prompt, str):
-                ids = self.tok.encode(p.prompt, add_special=True, parse_special=True)
-            else:
-                ids = [int(t) for t in p.prompt]
+        if p is not None and p.cache_prompt and isinstance(p.prompt, (str, list)) \
+                and not p.infill and not p.images:
+            ids = self._prompt_ids(task)
 
             def common(s: Slot) -> int:
                 n = 0
@@ -330,6 +331,20 @@ class InferenceEngine:
             if common(best) > 0:
                 return best
         return min(free, key=lambda s: s.t_last_used)
+
+    def _prompt_ids(self, task: Task) -> list[int]:
+        """Encode the prompt ONCE per request (the reference tokenizes once in
+        LaunchSlotWithData; round-1 code paid the tokenizer twice: routing +
+        launch)."""
+        if task.prompt_ids is None:
+            p = task.params
+            if isinstance(p.prompt, str):
+                task.prompt_ids = self.tok.encode(
+                    p.prompt, add_special=len(self.sys_tokens) == 0,
+                    parse_special=True)
+            else:
+                task.prompt_ids = [int(t) for t in p.prompt]
+        return task.prompt_ids
 
     # -- launch --------------------------------------------------------------
     def _launch_slot(self, slot: Slot, task: Task) -> None:
@@ -364,11 +379,8 @@ class InferenceEngine:
         # BOS comes from the system prefix when one is set, :1412)
         if p.infill:
             ids = self._build_infill_prompt(p)
-        elif isinstance(p.prompt, str):
-            ids = self.tok.encode(p.prompt, add_special=n_sys == 0,
-                                  parse_special=True)
         else:
-            ids = [int(t) for t in p.prompt]
+            ids = self._prompt_ids(task)
         if not ids:
             ids = [self.tok.bos_id] if self.tok.bos_id >= 0 and n_sys == 0 else [0]
 
@@ -595,7 +607,9 @@ class InferenceEngine:
         s.cache_tokens.extend(toks)
 
         if want_hidden:
-            part = np.asarray(self._extract(pooled), np.float64)[0] * chunk
+            # accumulate ON DEVICE; the single D2H pull happens once in
+            # _send_embedding instead of once per 512-token chunk
+            part = pooled[0] * chunk
             if s.embed_sum is None:
                 s.embed_sum = part
             else:
@@ -733,7 +747,7 @@ class InferenceEngine:
                 pending[s.id] = s.generated_tokens[-1]
             self._dev_params = params_from_host(by_slot)
             keys = self._dev_state.keys if self._dev_state is not None else \
-                new_state(S, seed=len(sig)).keys
+                new_state(S, seed=self._dev_seed).keys
             self._dev_state = DeviceSamplerState(
                 ring=ring_from_tokens(prevs, S), keys=keys)
             tokens_dev = jnp.asarray(pending)
@@ -860,7 +874,7 @@ class InferenceEngine:
 
     def _send_embedding(self, s: Slot) -> None:
         """Reference: SendEmbedding (:1026-1070), mean pooling + L2 norm."""
-        vec = np.asarray(s.embed_sum) / max(s.embed_count, 1)
+        vec = np.asarray(s.embed_sum, np.float64) / max(s.embed_count, 1)
         norm = float(np.linalg.norm(vec))
         if norm > 0:
             vec = vec / norm

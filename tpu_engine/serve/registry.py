@@ -79,6 +79,15 @@ class EngineRegistry:
         if not path or not os.path.exists(path):
             return False, f"Model path does not exist: {path}"
 
+        # log knobs (reference EngineLoadOption, enginei.h:15-25: log path,
+        # max log lines, log level — consumable at load time here since we
+        # have no separate engine-dylib Load step)
+        if body.get("log_path"):
+            self.set_file_logger(int(body.get("max_log_lines", 100_000)),
+                                 str(body["log_path"]))
+        if body.get("log_level"):
+            self.set_log_level(str(body["log_level"]))
+
         cache_type = str(body.get("cache_type", "f16")).lower()
         if cache_type not in VALID_KV_TYPES:
             log.warning("unsupported cache_type %s, using f16", cache_type)
@@ -244,6 +253,27 @@ class EngineRegistry:
             e.engine.shutdown()
 
     # -- force stop (reference llama_engine.cc:506-508, 1278-1298) ----------
+    def set_file_logger(self, max_lines: int, path: str) -> None:
+        """EngineI::SetFileLogger analog (/root/reference/base/cortex-common/
+        enginei.h:64-66): route all tpu_engine logs into a circular
+        (line-capped) file, replacing any previous file handler."""
+        from ..utils.logger import CircularFileHandler
+
+        root = logging.getLogger("tpu_engine")
+        for h in list(root.handlers):
+            if isinstance(h, CircularFileHandler):
+                root.removeHandler(h)
+                h.close()
+        handler = CircularFileHandler(path, max_lines or 100_000)
+        handler.setFormatter(logging.Formatter(
+            "%(asctime)s %(levelname)s %(name)s %(message)s"))
+        root.addHandler(handler)
+        log.info("file logger -> %s (max %d lines)", path, max_lines)
+
+    def set_log_level(self, level: str) -> None:
+        """EngineI::SetLogLevel analog (enginei.h:67)."""
+        logging.getLogger("tpu_engine").setLevel(level.upper())
+
     def stop_inferencing(self, model_id: str) -> None:
         self._force_stop.add(model_id)
 

@@ -101,3 +101,6 @@ class Task:
     params: CompletionParams | None = None
     target_id: int = -1  # for CANCEL
     t_submitted: float = field(default_factory=time.time)
+    # memoized prompt token ids: the engine encodes once (slot routing) and
+    # reuses at launch instead of tokenizing the prompt twice per request
+    prompt_ids: list | None = None
