@@ -30,33 +30,37 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..model import weights as W
 
-TK_TARGET = 512  # packed columns per k-tile (bytes for nib4, elems for i8)
-TN_TARGET = 256
+# Tile sizing, tuned on v5e: with >=1024-byte k-tiles the dequant VPU ops
+# hide entirely behind the HBM DMA and the kernel runs bandwidth-bound
+# (~520 GB/s effective vs ~270 GB/s at the former 512/256 tiles). The
+# dequant intermediates (i32 + 2x f32 + 2x bf16 per packed byte) live on
+# the Mosaic VMEM stack, so the tile AREA must stay under a budget or the
+# kernel hits scoped-vmem OOM (16 MB/core).
+TILE_AREA_BUDGET = 512 * 1024  # packed elements per weight tile
 
 
-def _pick_tn(n: int) -> int | None:
-    for t in (TN_TARGET, 128):
-        if n % t == 0:
-            return t
-    return None
-
-
-def _pick_m(plane_rows: int, ng: int) -> int | None:
-    """Tiles span m full group-cycles: TK = m*ng. m must divide the number
-    of r-rows in the packed plane (G for i8, G/2 for nib4), and Mosaic needs
-    the tile width to be a multiple of 128 lanes — or the full array width."""
+def _pick_tiles(n: int, plane_rows: int, ng: int):
+    """Choose (tn, tk): tk = m*ng spans m full group-cycles, with m dividing
+    the packed plane rows and tk a multiple of 128 lanes. Prefer the largest
+    tn whose largest admissible tk reaches 1024; otherwise the largest tk."""
+    tks = [m * ng for m in range(1, plane_rows + 1)
+           if plane_rows % m == 0 and (m * ng) % 128 == 0]
+    if not tks:
+        tks = [plane_rows * ng]  # single tile spanning the whole plane
     best = None
-    for m in range(1, plane_rows + 1):
-        if plane_rows % m:
+    for tn in (512, 256, 128):
+        if n % tn:
             continue
-        tk = m * ng
-        if tk % 128 == 0 and tk <= max(4 * TK_TARGET, ng):
-            best = m
-            if tk >= TK_TARGET:
-                break
-    if best is None:
-        # no aligned tile: fall back to one k-tile spanning the whole plane
-        best = plane_rows
+        fit = [tk for tk in tks if tn * tk <= TILE_AREA_BUDGET]
+        if not fit:
+            continue
+        tk = max(fit)
+        if best is None:
+            best = (tn, tk)
+        elif tk >= 1024 and best[1] < 1024:
+            best = (tn, tk)
+        elif tk > best[1] and best[1] < 1024:
+            best = (tn, tk)
     return best
 
 
@@ -120,11 +124,14 @@ def _qmm_2d(x, qs, scale, bias, *, kind: str, group: int, n: int, k: int,
     """x [M, K] (natural order) -> [M, N] f32, or None if untileable."""
     mrows = x.shape[0]
     ng = k // group
-    tn = _pick_tn(n)
-    if tn is None:
-        return None
     x16 = x.astype(jnp.bfloat16)
     xg = x16.reshape(mrows, ng, group).swapaxes(1, 2)  # [M, G, ng]
+
+    plane = group // 2 if kind == "nib4" else group
+    tiles = _pick_tiles(n, plane, ng)
+    if tiles is None:
+        return None
+    tn, _tk = tiles
 
     def sc_spec(tkb):
         # scale [N, ng]: one full group cycle per k-tile position
@@ -132,10 +139,8 @@ def _qmm_2d(x, qs, scale, bias, *, kind: str, group: int, n: int, k: int,
 
     if kind == "nib4":
         plane_rows = group // 2
-        m = _pick_m(plane_rows, ng)
-        if m is None:
-            return None
-        tkb = m * ng
+        tkb = _tk
+        m = tkb // ng
         n_k = (k // 2) // tkb
         xl = xg[:, 0::2, :].reshape(mrows, k // 2)
         xh = xg[:, 1::2, :].reshape(mrows, k // 2)
@@ -157,10 +162,8 @@ def _qmm_2d(x, qs, scale, bias, *, kind: str, group: int, n: int, k: int,
                 _nib4_kernel(xl, xh, qs, sc, None, out, acc, **kw),
                 m=m, n_k=n_k)
     else:  # i8
-        m = _pick_m(group, ng)
-        if m is None:
-            return None
-        tk = m * ng
+        tk = _tk
+        m = tk // ng
         n_k = k // tk
         xp = xg.reshape(mrows, k)
         grid = (n // tn, n_k)

@@ -265,7 +265,11 @@ def _forward(
 
     x = rms_norm(x, weights["output_norm"], cfg.rms_eps)
 
-    if collect_hidden:
+    if collect_hidden == "all":
+        # full final hidden states (perplexity eval: the caller projects
+        # every position through the output head)
+        pooled = x.astype(jnp.float32)
+    elif collect_hidden:
         # mean pooling over the valid tokens (llama.cpp mean pooling analog)
         valid = (jnp.arange(Tc, dtype=jnp.int32)[None, :] < n_valid[:, None])[..., None]
         hidden_sum = jnp.sum(jnp.where(valid, x.astype(jnp.float32), 0.0), axis=1)

@@ -110,6 +110,8 @@ class InferenceEngine:
         self._dev_sig = None
         self._dev_params = None
         self._dev_state: DeviceSamplerState | None = None
+        # in-flight speculative decode chunk (see _decode_multi)
+        self._spec: dict | None = None
         # Fresh entropy per engine so unseeded requests don't reproduce the
         # same streams across server restarts (reference seeds randomly too).
         self._dev_seed = int.from_bytes(os.urandom(4), "little")
@@ -209,6 +211,12 @@ class InferenceEngine:
         """Compile the [S, 1] host-sampled decode step (used for grammar /
         non-device-compatible sampling): run it with every row inactive so
         the cache is untouched."""
+        # the engine thread may still be settling a speculative chunk from
+        # the warm-up requests; wait for quiescence before touching the cache
+        for _ in range(3000):
+            if self._spec is None and not any(s.is_processing() for s in self.slots):
+                break
+            time.sleep(0.01)
         S = self.n_parallel
         logits, self.cache, _ = forward_step(
             self.model.weights, self.cache,
@@ -235,6 +243,11 @@ class InferenceEngine:
                 t_tasks = time.time()
                 busy = any(s.is_processing() for s in self.slots)
                 if not busy:
+                    if self._spec is not None:
+                        self._settle_spec()
+                        busy = any(s.is_processing() for s in self.slots)
+                        if busy:
+                            continue
                     if self._kv_clear_requested:
                         if self.system_prompt:
                             # re-seed the system prefix after the wipe
@@ -258,6 +271,7 @@ class InferenceEngine:
                         (t_tasks - t_it) * 1000, (t_end - t_tasks) * 1000)
                     t_prev_end = t_end
             except Exception as e:  # engine-level failure: fail all active slots
+                self._spec = None
                 log.error("engine loop error: %s\n%s", e, traceback.format_exc())
                 for s in self.slots:
                     if s.is_processing():
@@ -267,6 +281,9 @@ class InferenceEngine:
                         s.release()
 
     def _process_tasks(self) -> None:
+        if self._spec is not None and (self._deferred or not self._tasks.empty()):
+            # settle the in-flight chunk before any slot-state change
+            self._settle_spec()
         # retry deferred tasks first (reference defers when no slot is free)
         pending = self._deferred
         self._deferred = []
@@ -538,6 +555,11 @@ class InferenceEngine:
     def _update_slots(self) -> None:
         """One engine iteration (reference UpdateSlots :1248-1710)."""
         # 1) context shift for generating slots at capacity (ref :1274-1306)
+        if self._spec is not None and any(
+            s.state == SlotState.GENERATING and s.n_past >= self.slot_ctx
+            for s in self.slots
+        ):
+            self._settle_spec()
         for s in self.slots:
             if s.state == SlotState.GENERATING and s.n_past >= self.slot_ctx:
                 if not self.ctx_shift:
@@ -704,6 +726,11 @@ class InferenceEngine:
         ):
             self._decode_multi(gen, n_inner)
             return
+        if self._spec is not None:
+            self._settle_spec()
+            gen = [s for s in gen if s.state == SlotState.GENERATING]
+            if not gen:
+                return
         self._dev_sig = None  # single-step path invalidates device state
         S = self.n_parallel
         tokens = np.zeros((S, 1), np.int32)
@@ -728,12 +755,43 @@ class InferenceEngine:
             s.timings.predicted_ms = (time.time() - s.t_start_gen) * 1000.0
 
     def _decode_multi(self, gen: list[Slot], n_inner: int) -> None:
-        """n_inner decode steps with on-device sampling: ONE host round-trip
-        per chunk. Stop/budget/streaming semantics stay host-side; overrun
-        cells of slots that stop mid-chunk are trimmed back."""
-        S = self.n_parallel
-        t_prep = time.time()
+        """n_inner decode steps with on-device sampling, double-buffered:
+        while the host pulls and processes chunk i's tokens, chunk i+1 is
+        already executing on the device (its input token is chunk i's last
+        token, which never leaves the device). This hides the dispatch/D2H
+        round-trip AND the host-side stop/stream processing behind device
+        compute. Stop/budget/streaming semantics stay host-side; overrun
+        cells of slots that stop mid-chunk (or whose speculated chunk turns
+        out stale) are trimmed back via kvcache.trim."""
         sig = tuple(sorted((s.id, s.task_id) for s in gen))
+        if self._spec is not None and self._spec["sig"] != sig:
+            # the in-flight chunk was speculated for a different slot set
+            # (slot stopped / new slot joined): settle it — its tokens for
+            # still-running slots are valid and get processed normally
+            self._settle_spec()
+            gen = [s for s in gen if s.state == SlotState.GENERATING]
+            if not gen:
+                return
+            sig = tuple(sorted((s.id, s.task_id) for s in gen))
+        if self._spec is None:
+            self._dispatch_chunk(gen, sig, n_inner)
+        spec, self._spec = self._spec, None
+        # speculative next chunk: dispatched BEFORE this chunk's results are
+        # pulled, so the device never idles between chunks
+        if self._can_speculate(gen, n_inner):
+            self._dispatch_chunk(gen, sig, n_inner)
+        t1 = time.time()
+        toks = np.asarray(self._extract(spec["toks"]))  # the single D2H pull
+        if self._trace:
+            log.info("decode_multi n=%d pull=%.0fms spec=%s",
+                     spec["n_inner"], (time.time() - t1) * 1000,
+                     self._spec is not None)
+        self._process_chunk(gen, toks, spec["n_inner"])
+
+    def _dispatch_chunk(self, gen: list[Slot], sig, n_inner: int) -> None:
+        """Launch one decode_loop chunk asynchronously; record it in
+        self._spec for later settling."""
+        S = self.n_parallel
         active_np = np.zeros((S,), bool)
         for s in gen:
             active_np[s.id] = True
@@ -755,22 +813,53 @@ class InferenceEngine:
         else:
             tokens_dev = self._last_tok_dev
 
-        t0 = time.time()
         toks_dev, self._last_tok_dev, self.cache, self._dev_state = decode_loop(
             self.model.weights, self.cache, tokens_dev,
             jnp.asarray(active_np), self.cfg,
             self._dev_params, self._dev_state, n_inner,
             ga_n=self.ga_n, ga_w=self.ga_w,
         )
-        t1 = time.time()
-        toks = np.asarray(self._extract(toks_dev))  # the single D2H pull
-        if self._trace:
-            log.info("decode_multi n=%d prep=%.0fms dispatch=%.0fms pull=%.0fms sig_new=%s",
-                     n_inner, (t0 - t_prep) * 1000,
-                     (t1 - t0) * 1000, (time.time() - t1) * 1000,
-                     sig != getattr(self, "_trace_prev_sig", None))
-            self._trace_prev_sig = sig
+        self._spec = {"sig": sig, "toks": toks_dev, "n_inner": n_inner}
 
+    def _can_speculate(self, gen: list[Slot], n_inner: int) -> bool:
+        """Speculate only when nothing is about to change the slot set: no
+        queued/deferred tasks, no prompts mid-prefill, everyone has context
+        room and budget for two full chunks."""
+        return (
+            self._tasks.empty()
+            and not self._deferred
+            and not self._kv_clear_requested
+            and not any(s.state == SlotState.PROCESSING_PROMPT for s in self.slots)
+            and all(s.n_past + 2 * n_inner + 1 <= self.slot_ctx for s in gen)
+            and all(s.n_remaining < 0 or s.n_remaining > 2 * n_inner for s in gen)
+        )
+
+    def _settle_spec(self) -> None:
+        """Pull and process the in-flight speculative chunk. Tokens for
+        slots still running the same task are processed normally; cache
+        cells appended for slots that have since stopped are trimmed (a
+        slot relaunched with a NEW task is left alone — its launch-time
+        trim/prefill already executed after this chunk in device order)."""
+        spec, self._spec = self._spec, None
+        if spec is None:
+            return
+        toks = np.asarray(self._extract(spec["toks"]))
+        gen = [
+            self.slots[sid] for sid, tid in spec["sig"]
+            if self.slots[sid].task_id == tid
+            and self.slots[sid].state == SlotState.GENERATING
+        ]
+        self._process_chunk(gen, toks, spec["n_inner"])
+        for sid, tid in spec["sig"]:
+            s = self.slots[sid]
+            if s.task_id == tid and s.state == SlotState.GENERATING:
+                continue  # processed above (and trimmed if it stopped)
+            if s.is_processing() and s.task_id != tid:
+                continue  # relaunched: its cells were re-managed at launch
+            self.cache = trim(self.cache, jnp.int32(sid), jnp.int32(s.n_past))
+
+    def _process_chunk(self, gen: list[Slot], toks: np.ndarray,
+                       n_inner: int) -> None:
         t2 = time.time()
         n_trims = 0
         for s in gen:
