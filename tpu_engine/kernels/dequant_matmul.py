@@ -117,15 +117,21 @@ def _i8_kernel(x_ref, qs_ref, sc_ref, b_ref, out_ref, acc_ref, *, m: int, n_k: i
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kind", "group", "n", "k", "interpret")
+    jax.jit, static_argnames=("kind", "group", "n", "k", "shards", "interpret")
 )
 def _qmm_2d(x, qs, scale, bias, *, kind: str, group: int, n: int, k: int,
-            interpret: bool = False):
-    """x [M, K] (natural order) -> [M, N] f32, or None if untileable."""
+            shards: int = 1, interpret: bool = False):
+    """x [M, K] (natural order) -> [M, N] f32, or None if untileable.
+
+    shards: perm_shards of the weight layout — the group-transpose was
+    applied per K-chunk (TP row-parallel layout, quant/device_format.py).
+    k-tiles never straddle chunk boundaries; the scale tile follows the
+    chunk's group cycle."""
     mrows = x.shape[0]
-    ng = k // group
+    ng = (k // shards) // group  # groups per chunk (== K/G when shards=1)
     x16 = x.astype(jnp.bfloat16)
-    xg = x16.reshape(mrows, ng, group).swapaxes(1, 2)  # [M, G, ng]
+    # per-chunk group transpose of the activation to match the weight layout
+    xg = x16.reshape(mrows, shards, ng, group).swapaxes(2, 3)  # [M, C, G, ng]
 
     plane = group // 2 if kind == "nib4" else group
     tiles = _pick_tiles(n, plane, ng)
@@ -134,16 +140,20 @@ def _qmm_2d(x, qs, scale, bias, *, kind: str, group: int, n: int, k: int,
     tn, _tk = tiles
 
     def sc_spec(tkb):
-        # scale [N, ng]: one full group cycle per k-tile position
-        return pl.BlockSpec((tn, ng), lambda i, kk: (i, 0), memory_space=pltpu.VMEM)
+        # scale [N, ng*shards]: one full chunk group cycle per k-tile; the
+        # tile's chunk index selects which ng-column block of scales
+        kc_tiles = max((k // shards) // (2 if kind == "nib4" else 1) // tkb, 1)
+        return pl.BlockSpec(
+            (tn, ng), lambda i, kk: (i, kk // kc_tiles), memory_space=pltpu.VMEM
+        )
 
     if kind == "nib4":
         plane_rows = group // 2
         tkb = _tk
         m = tkb // ng
         n_k = (k // 2) // tkb
-        xl = xg[:, 0::2, :].reshape(mrows, k // 2)
-        xh = xg[:, 1::2, :].reshape(mrows, k // 2)
+        xl = xg[:, :, 0::2, :].reshape(mrows, k // 2)
+        xh = xg[:, :, 1::2, :].reshape(mrows, k // 2)
         grid = (n // tn, n_k)
         in_specs = [
             pl.BlockSpec((mrows, tkb), lambda i, kk: (0, kk), memory_space=pltpu.VMEM),
@@ -165,7 +175,7 @@ def _qmm_2d(x, qs, scale, bias, *, kind: str, group: int, n: int, k: int,
         tk = _tk
         m = tk // ng
         n_k = k // tk
-        xp = xg.reshape(mrows, k)
+        xp = xg.reshape(mrows, k)  # flat col = c*kc + r*ng + g (chunk-major)
         grid = (n // tn, n_k)
         in_specs = [
             pl.BlockSpec((mrows, tk), lambda i, kk: (0, kk), memory_space=pltpu.VMEM),
@@ -199,13 +209,21 @@ _INTERPRET = False
 
 
 def pallas_qmatmul(x: jax.Array, qt: W.QTensor) -> jax.Array:
-    """Drop-in for weights.qmatmul on quantized tensors."""
-    n, k = qt.shape
+    """Drop-in for weights.qmatmul on quantized tensors.
+
+    Shapes come from the ARRAYS, not qt.shape metadata, so shard_map-local
+    slices of a TP-sharded tensor (dist/tp.py) work: a K-sharded
+    perm_shards=p tensor arrives here as one self-permuted chunk."""
+    n = qt.qs.shape[0]
+    k = qt.qs.shape[1] * (2 if qt.kind == "nib4" else 1)
     lead = x.shape[:-1]
     mrows = 1
     for d in lead:
         mrows *= d
     x2 = x.reshape(mrows, k)
+    # a local K-slice of a perm_shards=p tensor holds k/k_global of the
+    # chunks (p when unsliced; 1 when sharded p-ways)
+    shards = max(qt.perm_shards * k // qt.shape[1], 1) if qt.perm else 1
     # Mosaic wants the sublane dim divisible by 8: pad small batches
     pad = (-mrows) % 8
     if pad:
@@ -214,7 +232,8 @@ def pallas_qmatmul(x: jax.Array, qt: W.QTensor) -> jax.Array:
     if qt.perm:
         out = _qmm_2d(
             x2, qt.qs, qt.scale, qt.bias,
-            kind=qt.kind, group=qt.group, n=n, k=k, interpret=_INTERPRET,
+            kind=qt.kind, group=qt.group, n=n, k=k, shards=shards,
+            interpret=_INTERPRET,
         )
     if out is None:
         w = W.dequant(qt, x.dtype)

@@ -125,7 +125,7 @@ def _decode_kernel(
     b = pl.program_id(0)
     kb = pl.program_id(1)
     D = cfg.head_dim
-    KH = cfg.n_kv_head
+    KH = kn_ref.shape[1]  # from the block shape: local kv heads under TP
     H = KH * G
     RQ = acc_ref.shape[0]
     C = KH * Tblk
@@ -454,7 +454,7 @@ def flash_attention(q, cache, li, slot_ids, q_pos, n_valid, k_new, v_new,
                     cfg, ga_n, ga_w):
     """Drop-in for model.llama.attention_reference (the _ATTN_IMPL hook)."""
     B, Tc, H, D = q.shape
-    KH = cfg.n_kv_head
+    KH = k_new.shape[1]  # local kv heads (== cfg.n_kv_head/p under TP)
     G = H // KH
     q5 = q.reshape(B, Tc, KH, G, D)
     starts = q_pos[:, 0].astype(jnp.int32)

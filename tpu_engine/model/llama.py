@@ -98,9 +98,13 @@ def attention_reference(
     q_pos[:, 0] are valid history (K rotated here by its possibly
     self-extend-remapped cell index; quantized cells dequantized first);
     the step's own tokens attend causally within the in-flight block.
+
+    Head counts come from the ARRAYS (not cfg) so shard_map-local slices
+    under tensor parallelism (dist/tp.py) work unchanged.
     """
     B, Tc = q.shape[0], q.shape[1]
-    H, KH, D = cfg.n_head, cfg.n_kv_head, cfg.head_dim
+    H, D = q.shape[2], q.shape[3]
+    KH = k_new.shape[1]
     G = H // KH
     ks = cache.k_scale[li, slot_ids] if cache.k_scale is not None else None
     vs = cache.v_scale[li, slot_ids] if cache.v_scale is not None else None
@@ -169,6 +173,7 @@ def _forward(
     n_valid: jax.Array | None = None,
     collect_hidden: bool = False,
     embd: jax.Array | None = None,
+    tp_axis: str | None = None,
 ):
     """One engine step over a [B, Tc] token block.
 
@@ -181,6 +186,11 @@ def _forward(
 
     Returns (logits [B, n_vocab] for the last VALID token of each row,
     new_cache, pooled_hidden [B, n_embd] or None).
+
+    tp_axis: mesh axis name when running INSIDE shard_map under tensor
+    parallelism (dist/tp.py): weights arrive as local shards (heads / ffn
+    columns / vocab rows local), attention + MLP reduce partial sums with
+    psum, and vocab-sharded logits are all-gathered. None = single shard.
     """
     B, Tc = tokens.shape
     T = cache.max_len
@@ -223,9 +233,11 @@ def _forward(
                 hq = hq + lw["bq"]
                 hk = hk + lw["bk"]
                 hv = hv + lw["bv"]
-        hq = hq.reshape(B, Tc, H, D)
-        hk = hk.reshape(B, Tc, KH, D)
-        hv = hv.reshape(B, Tc, KH, D)
+        # -1: under TP the local head counts are H/p, KH/p (shard_map
+        # slices the projection weights; shapes carry the truth)
+        hq = hq.reshape(B, Tc, -1, D)
+        hk = hk.reshape(B, Tc, -1, D)
+        hv = hv.reshape(B, Tc, -1, D)
 
         q_rot = apply_rope(hq, self_extend_pos(q_pos, ga_n, ga_w), cfg)
 
@@ -243,8 +255,12 @@ def _forward(
             q_rot, cache, li, slot_ids, q_pos, n_valid,
             k_new_rot, jnp.swapaxes(hv, 1, 2), cfg, ga_n, ga_w,
         )
-        attn = attn.reshape(B, Tc, H * D)
+        attn = attn.reshape(B, Tc, attn.shape[2] * D)
         attn = qmatmul(attn, lw["wo"])
+        if tp_axis is not None:
+            # row-parallel wo: every shard holds a partial sum over its
+            # local heads (Megatron pattern; SURVEY.md section 2c TP row)
+            attn = jax.lax.psum(attn, tp_axis)
         if cfg.post_norms:
             attn = rms_norm(attn, lw["post_attn_norm"], cfg.rms_eps)
         x = x + attn
@@ -259,6 +275,8 @@ def _forward(
             gate = _act(qmatmul(h, lw["w_gate"]), cfg.act)
             up = qmatmul(h, lw["w_up"])
         ffn = qmatmul(gate * up, lw["w_down"])
+        if tp_axis is not None:
+            ffn = jax.lax.psum(ffn, tp_axis)
         if cfg.post_norms:
             ffn = rms_norm(ffn, lw["post_ffn_norm"], cfg.rms_eps)
         x = x + ffn
@@ -279,6 +297,9 @@ def _forward(
 
     last = x[jnp.arange(B), jnp.maximum(n_valid - 1, 0)]  # [B, E]
     logits = qmatmul(last, weights["output"]).astype(jnp.float32)  # [B, V]
+    if tp_axis is not None and logits.shape[-1] < cfg.n_vocab:
+        # vocab-sharded output head: gather the full row for sampling
+        logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
     if cfg.final_logit_softcap > 0:
         c = cfg.final_logit_softcap
         logits = jnp.tanh(logits / c) * c
@@ -299,17 +320,12 @@ def _forward(
 
 forward_step = partial(
     jax.jit,
-    static_argnames=("cfg", "collect_hidden"),
+    static_argnames=("cfg", "collect_hidden", "tp_axis"),
     donate_argnames=("cache",),
 )(_forward)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("cfg", "n_inner"),
-    donate_argnames=("cache", "samp_state"),
-)
-def decode_loop(
+def _decode_loop(
     weights: dict,
     cache: KVCache,
     tokens: jax.Array,  # [S] int32: pending token per slot
@@ -320,6 +336,7 @@ def decode_loop(
     n_inner: int,
     ga_n: jax.Array | int = 1,
     ga_w: jax.Array | int = 0,
+    tp_axis: str | None = None,
 ):
     """n_inner batched decode steps with ON-DEVICE sampling.
 
@@ -337,7 +354,7 @@ def decode_loop(
         cache, tok, st = carry
         logits, cache, _ = _forward(
             weights, cache, tok[:, None], slot_ids, active, cfg,
-            ga_n=ga_n, ga_w=ga_w,
+            ga_n=ga_n, ga_w=ga_w, tp_axis=tp_axis,
         )
         nxt, st = sample_step(logits, samp_params, st)
         return (cache, nxt, st), nxt
@@ -349,3 +366,10 @@ def decode_loop(
     # the serving loop can feed the next chunk without an eager slice op
     # (first use of an eager op costs a ~2 s compile on remote runtimes)
     return toks.T, last, cache, samp_state  # [S, n_inner], [S]
+
+
+decode_loop = partial(
+    jax.jit,
+    static_argnames=("cfg", "n_inner", "tp_axis"),
+    donate_argnames=("cache", "samp_state"),
+)(_decode_loop)

@@ -79,8 +79,14 @@ def load_model(
             qk_perm = {"q": qperm, "k": kperm}
             cfg.rope_type = "neox"
 
+        # TP sharders (dist/tp.py TPSharder) ask for the per-K-chunk kernel
+        # permutation on row-parallel tensors so each K-shard is a
+        # self-consistent Pallas layout
+        shards_of = getattr(sharder, "perm_shards", lambda name: 1)
+
         def qt(name: str) -> QTensor:
-            t = qtensor_from_gguf(g, name, compute_dtype)
+            t = qtensor_from_gguf(g, name, compute_dtype,
+                                  perm_shards=shards_of(name))
             if qk_perm is not None and name.endswith((".attn_q.weight", ".attn_k.weight")):
                 t = permute_rows(t, qk_perm["q" if "attn_q" in name else "k"])
             if sharder is not None:

@@ -39,18 +39,24 @@ class QTensor:
     group: int
     shape: tuple[int, int]
     perm: bool = False
+    # number of independent K-chunks the kernel permutation was applied
+    # over (1 = whole row). perm_shards == p means the tensor can shard
+    # along K into p parts for tensor parallelism with every shard a
+    # self-consistent kernel layout (dist/tp.py).
+    perm_shards: int = 1
 
     def tree_flatten(self):
         return (self.qs, self.scale, self.bias), (self.kind, self.group, self.shape,
-                                                  self.perm)
+                                                  self.perm, self.perm_shards)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         qs, scale, bias = children
         kind, group, shape = aux[:3]
         perm = aux[3] if len(aux) > 3 else False
+        perm_shards = aux[4] if len(aux) > 4 else 1
         return cls(qs=qs, scale=scale, bias=bias, kind=kind, group=group,
-                   shape=shape, perm=perm)
+                   shape=shape, perm=perm, perm_shards=perm_shards)
 
     @property
     def bits_per_weight(self) -> float:
@@ -63,7 +69,8 @@ class QTensor:
         return total * 8.0 / (n * k)
 
 
-def qtensor_from_gguf(g: GGUFFile, name: str, dtype=jnp.float32) -> QTensor:
+def qtensor_from_gguf(g: GGUFFile, name: str, dtype=jnp.float32,
+                      perm_shards: int = 1) -> QTensor:
     from ..quant.device_format import (
         permute_group_transpose_i8,
         permute_group_transpose_nib4,
@@ -75,19 +82,25 @@ def qtensor_from_gguf(g: GGUFFile, name: str, dtype=jnp.float32) -> QTensor:
     n = ti.n_elems // k
     if ti.ggml_type in LAYOUTS:
         lay = LAYOUTS[ti.ggml_type]
+        if perm_shards > 1 and (
+            k % perm_shards or (k // perm_shards) % lay.group
+            or (lay.kind == "nib4" and (k // perm_shards) % 2)
+        ):
+            perm_shards = 1  # chunking impossible; caller replicates
         native = None
         from ..native import lib as native_lib
 
-        native = native_lib.extract_device(g.tensor_bytes(name), ti.ggml_type, n, k)
+        native = native_lib.extract_device(
+            g.tensor_bytes(name), ti.ggml_type, n, k, shards=perm_shards)
         if native is not None:
             qs, scale, bias = native
         else:
             dq = to_device_format(g.tensor_bytes(name), ti.ggml_type, (n, k))
             scale, bias = dq.scale, dq.bias
             if lay.kind == "nib4":
-                qs = permute_group_transpose_nib4(dq.qs, lay.group)
+                qs = permute_group_transpose_nib4(dq.qs, lay.group, perm_shards)
             else:
-                qs = permute_group_transpose_i8(dq.qs, lay.group)
+                qs = permute_group_transpose_i8(dq.qs, lay.group, perm_shards)
         return QTensor(
             qs=jnp.asarray(qs),
             scale=jnp.asarray(scale),
@@ -96,6 +109,7 @@ def qtensor_from_gguf(g: GGUFFile, name: str, dtype=jnp.float32) -> QTensor:
             group=lay.group,
             shape=(n, k),
             perm=True,
+            perm_shards=perm_shards,
         )
     w = np.asarray(g.dequantize(name, np.float32)).reshape(n, k)
     return QTensor(
@@ -104,9 +118,18 @@ def qtensor_from_gguf(g: GGUFFile, name: str, dtype=jnp.float32) -> QTensor:
 
 
 def _unpack_natural(qs: jax.Array, kind: str, group: int, k: int,
-                    perm: bool) -> jax.Array:
-    """Quantized values -> float natural element order. qs: [..., K or K/2]."""
+                    perm: bool, shards: int = 1) -> jax.Array:
+    """Quantized values -> float natural element order. qs: [..., K or K/2].
+    shards: perm_shards of the layout (per-K-chunk permutation)."""
     lead = qs.shape[:-1]
+    if perm and shards > 1:
+        # each chunk is its own self-permuted layout: fold chunks into a
+        # leading axis, unpack, and restore natural chunk order
+        kb = qs.shape[-1]
+        q = _unpack_natural(
+            qs.reshape(*lead, shards, kb // shards), kind, group,
+            k // shards, perm)
+        return q.reshape(*lead, k)
     if kind == "nib4":
         if perm:
             ng = k // group
@@ -128,12 +151,21 @@ def _unpack_natural(qs: jax.Array, kind: str, group: int, k: int,
     return q.astype(jnp.float32)
 
 
+def _local_k_shards(qt: QTensor) -> tuple[int, int]:
+    """(k, shards) from the ARRAYS, not qt.shape metadata: a shard_map-local
+    K-slice of a perm_shards=p tensor (dist/tp.py) holds k/k_global of the
+    permutation chunks."""
+    k = qt.qs.shape[-1] * (2 if qt.kind == "nib4" else 1)
+    shards = max(qt.perm_shards * k // qt.shape[1], 1) if qt.perm else 1
+    return k, shards
+
+
 def dequant(qt: QTensor, dtype=jnp.float32) -> jax.Array:
     """Full dequantization (reference path / embeddings / tiny tensors)."""
     if qt.kind == "dense":
         return qt.qs.astype(dtype)
-    n, k = qt.shape
-    q = _unpack_natural(qt.qs, qt.kind, qt.group, k, qt.perm)
+    k, shards = _local_k_shards(qt)
+    q = _unpack_natural(qt.qs, qt.kind, qt.group, k, qt.perm, shards)
     w = q * jnp.repeat(qt.scale, qt.group, axis=-1)
     if qt.bias is not None:
         w = w + jnp.repeat(qt.bias, qt.group, axis=-1)
@@ -144,8 +176,8 @@ def _rows(qt: QTensor, ids: jax.Array, dtype=jnp.float32) -> jax.Array:
     """Gather + dequantize rows (embedding lookup)."""
     if qt.kind == "dense":
         return qt.qs[ids].astype(dtype)
-    n, k = qt.shape
-    q = _unpack_natural(qt.qs[ids], qt.kind, qt.group, k, qt.perm)
+    k, shards = _local_k_shards(qt)
+    q = _unpack_natural(qt.qs[ids], qt.kind, qt.group, k, qt.perm, shards)
     w = q * jnp.repeat(qt.scale[ids], qt.group, axis=-1)
     if qt.bias is not None:
         w = w + jnp.repeat(qt.bias[ids], qt.group, axis=-1)
@@ -166,6 +198,7 @@ def permute_rows(qt: QTensor, perm: np.ndarray) -> QTensor:
         scale=qt.scale[idx] if qt.scale is not None else None,
         bias=qt.bias[idx] if qt.bias is not None else None,
         kind=qt.kind, group=qt.group, shape=qt.shape, perm=qt.perm,
+        perm_shards=qt.perm_shards,
     )
 
 
@@ -187,7 +220,7 @@ def slice_rows(qt: QTensor, start: int, stop: int) -> QTensor:
         scale=qt.scale[start:stop] if qt.scale is not None else None,
         bias=qt.bias[start:stop] if qt.bias is not None else None,
         kind=qt.kind, group=qt.group, shape=(stop - start, qt.shape[1]),
-        perm=qt.perm,
+        perm=qt.perm, perm_shards=qt.perm_shards,
     )
 
 
@@ -199,7 +232,8 @@ def concat_qtensors(qts: list[QTensor]) -> QTensor | None:
     k0 = qts[0]
     if any(
         t.kind != k0.kind or t.group != k0.group or t.shape[1] != k0.shape[1]
-        or t.perm != k0.perm or (t.bias is None) != (k0.bias is None)
+        or t.perm != k0.perm or t.perm_shards != k0.perm_shards
+        or (t.bias is None) != (k0.bias is None)
         for t in qts
     ):
         return None
@@ -211,6 +245,7 @@ def concat_qtensors(qts: list[QTensor]) -> QTensor | None:
         bias=jnp.concatenate([t.bias for t in qts], axis=0)
         if k0.bias is not None else None,
         kind=k0.kind, group=k0.group, shape=(n_total, k0.shape[1]), perm=k0.perm,
+        perm_shards=k0.perm_shards,
     )
 
 

@@ -252,13 +252,18 @@ void extract_block(int ty, const uint8_t* b, int16_t* q, float* sc, float* bias)
 }
 
 void process_rows(int ty, const RowSpec& rs, const uint8_t* raw, int64_t k,
-                  uint8_t* qs_out, float* sc_out, float* bias_out,
+                  int shards, uint8_t* qs_out, float* sc_out, float* bias_out,
                   int64_t row_begin, int64_t row_end) {
   const int64_t blocks_per_row = k / rs.block_elems;
   const int64_t row_bytes = blocks_per_row * rs.block_bytes;
   const int G = rs.group;
   const int64_t ng = k / G;
   const int64_t groups_per_block = rs.block_elems / G;
+  // shards > 1: group-transpose each of `shards` contiguous K-chunks
+  // independently so the tensor can shard along K under tensor parallelism
+  // (quant/device_format.py permute_*(..., shards)).
+  const int64_t kc = k / shards;   // chunk elements (multiple of G)
+  const int64_t ngc = kc / G;      // groups per chunk
   std::vector<int16_t> qnat(k);
   for (int64_t r = row_begin; r < row_end; ++r) {
     const uint8_t* rowp = raw + r * row_bytes;
@@ -273,19 +278,25 @@ void process_rows(int ty, const RowSpec& rs, const uint8_t* raw, int64_t k,
     }
     // group-transposed kernel layout (quant/device_format.py)
     if (rs.nib4) {
-      uint8_t* out = qs_out + r * (k / 2);
-      for (int r2 = 0; r2 < G / 2; ++r2) {
-        for (int64_t g = 0; g < ng; ++g) {
-          uint8_t lo = (uint8_t)qnat[g * G + 2 * r2] & 0xF;
-          uint8_t hi = (uint8_t)qnat[g * G + 2 * r2 + 1] & 0xF;
-          out[r2 * ng + g] = lo | (hi << 4);
+      for (int64_t c = 0; c < shards; ++c) {
+        const int16_t* qc = qnat.data() + c * kc;
+        uint8_t* out = qs_out + r * (k / 2) + c * (kc / 2);
+        for (int r2 = 0; r2 < G / 2; ++r2) {
+          for (int64_t g = 0; g < ngc; ++g) {
+            uint8_t lo = (uint8_t)qc[g * G + 2 * r2] & 0xF;
+            uint8_t hi = (uint8_t)qc[g * G + 2 * r2 + 1] & 0xF;
+            out[r2 * ngc + g] = lo | (hi << 4);
+          }
         }
       }
     } else {
-      int8_t* out = (int8_t*)qs_out + r * k;
-      for (int rr = 0; rr < G; ++rr)
-        for (int64_t g = 0; g < ng; ++g)
-          out[rr * ng + g] = (int8_t)qnat[g * G + rr];
+      for (int64_t c = 0; c < shards; ++c) {
+        const int16_t* qc = qnat.data() + c * kc;
+        int8_t* out = (int8_t*)qs_out + r * k + c * kc;
+        for (int rr = 0; rr < G; ++rr)
+          for (int64_t g = 0; g < ngc; ++g)
+            out[rr * ngc + g] = (int8_t)qc[g * G + rr];
+      }
     }
   }
 }
@@ -296,16 +307,21 @@ extern "C" {
 
 // Returns 0 on success. qs_out: [n_rows, k/2] (nib4) or [n_rows, k] (i8);
 // sc_out/bias_out: [n_rows, k/group] f32 (bias_out may be null for
-// symmetric formats).
+// symmetric formats). shards: number of independent K-chunks for the
+// kernel-layout permutation (1 = whole row; >1 = TP row-parallel layout).
 int te_extract_device(int ggml_type, const uint8_t* raw, int64_t n_rows,
                       int64_t k, uint8_t* qs_out, float* sc_out,
-                      float* bias_out, int n_threads) {
+                      float* bias_out, int n_threads, int shards) {
   RowSpec rs;
   if (!row_spec(ggml_type, &rs)) return 1;
   if (k % rs.block_elems != 0) return 2;
+  if (shards < 1) shards = 1;
+  if (k % shards != 0 || (k / shards) % rs.group != 0) return 3;
+  if (rs.nib4 && (k / shards) % 2 != 0) return 3;
   if (n_threads < 1) n_threads = 1;
   if (n_threads == 1 || n_rows < 4) {
-    process_rows(ggml_type, rs, raw, k, qs_out, sc_out, bias_out, 0, n_rows);
+    process_rows(ggml_type, rs, raw, k, shards, qs_out, sc_out, bias_out,
+                 0, n_rows);
     return 0;
   }
   std::vector<std::thread> workers;
@@ -315,7 +331,7 @@ int te_extract_device(int ggml_type, const uint8_t* raw, int64_t n_rows,
     int64_t hi = lo + chunk < n_rows ? lo + chunk : n_rows;
     if (lo >= hi) break;
     workers.emplace_back(process_rows, ggml_type, std::cref(rs), raw, k,
-                         qs_out, sc_out, bias_out, lo, hi);
+                         shards, qs_out, sc_out, bias_out, lo, hi);
   }
   for (auto& w : workers) w.join();
   return 0;

@@ -58,6 +58,7 @@ def _load() -> ctypes.CDLL | None:
         lib.te_extract_device.argtypes = [
             ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_int,
         ]
         lib.te_dequant.restype = ctypes.c_int
         lib.te_dequant.argtypes = [
@@ -78,9 +79,12 @@ def n_threads() -> int:
     return max(os.cpu_count() or 1, 1)
 
 
-def extract_device(raw: np.ndarray, ty: GGMLType, n: int, k: int):
+def extract_device(raw: np.ndarray, ty: GGMLType, n: int, k: int,
+                   shards: int = 1):
     """Native fused extract+permute into the kernel layout.
 
+    shards > 1 applies the kernel permutation per K-chunk so the result can
+    shard along K for tensor parallelism (quant/device_format.py).
     Returns (qs, scale, bias) or None if the native path is unavailable.
     """
     lib = _load()
@@ -99,6 +103,7 @@ def extract_device(raw: np.ndarray, ty: GGMLType, n: int, k: int):
         scale.ctypes.data_as(ctypes.c_void_p),
         bias.ctypes.data_as(ctypes.c_void_p) if bias is not None else None,
         n_threads(),
+        shards,
     )
     if rc != 0:
         return None

@@ -207,34 +207,55 @@ def _extract(raw: np.ndarray, ty: GGMLType, n: int, k: int):
     raise NotImplementedError(f"device format for {ty.name}")
 
 
-def permute_group_transpose_i8(qs: np.ndarray, group: int) -> np.ndarray:
+def permute_group_transpose_i8(qs: np.ndarray, group: int,
+                               shards: int = 1) -> np.ndarray:
     """Natural-order int8 values [N, K] -> kernel layout [N, K] with
     k' = r*ng + g (g = group index, r = position in group, ng = K/group).
 
     Consecutive kernel columns then cycle through groups with period ng, so
     per-group scales broadcast with a tile-repeat (see
     kernels/dequant_matmul.py).
+
+    shards > 1 applies the permutation independently within each of
+    `shards` contiguous K-chunks (chunk length a multiple of group), so the
+    tensor can be sharded along K for tensor parallelism with each shard a
+    self-consistent kernel layout (dist/tp.py). Implemented by treating
+    every chunk as its own row.
     """
     n, k = qs.shape
+    if shards > 1:
+        out = permute_group_transpose_i8(
+            qs.reshape(n * shards, k // shards), group)
+        return out.reshape(n, k)
     ng = k // group
     return np.ascontiguousarray(
         qs.reshape(n, ng, group).transpose(0, 2, 1).reshape(n, k)
     )
 
 
-def unpermute_group_transpose_i8(qs: np.ndarray, group: int) -> np.ndarray:
+def unpermute_group_transpose_i8(qs: np.ndarray, group: int,
+                                 shards: int = 1) -> np.ndarray:
     n, k = qs.shape
+    if shards > 1:
+        out = unpermute_group_transpose_i8(
+            qs.reshape(n * shards, k // shards), group)
+        return out.reshape(n, k)
     ng = k // group
     return qs.reshape(n, group, ng).transpose(0, 2, 1).reshape(n, k)
 
 
-def permute_group_transpose_nib4(packed: np.ndarray, group: int) -> np.ndarray:
+def permute_group_transpose_nib4(packed: np.ndarray, group: int,
+                                 shards: int = 1) -> np.ndarray:
     """Natural packed nibbles [N, K/2] (byte j = elements 2j, 2j+1) ->
     kernel layout [N, K/2] where byte b = (elements (g, 2*r2), (g, 2*r2+1))
     at b = r2*ng + g: the low-nibble plane covers even positions-in-group,
     the high-nibble plane odd ones, and both planes share the same group
-    cycle with period ng."""
+    cycle with period ng. shards: as permute_group_transpose_i8."""
     n, kb = packed.shape
+    if shards > 1:
+        out = permute_group_transpose_nib4(
+            packed.reshape(n * shards, kb // shards), group)
+        return out.reshape(n, kb)
     k = kb * 2
     ng = k // group
     q = np.empty((n, k), np.uint8)
@@ -246,8 +267,13 @@ def permute_group_transpose_nib4(packed: np.ndarray, group: int) -> np.ndarray:
     return np.ascontiguousarray(lo | (hi << 4))
 
 
-def unpermute_group_transpose_nib4(packed: np.ndarray, group: int) -> np.ndarray:
+def unpermute_group_transpose_nib4(packed: np.ndarray, group: int,
+                                   shards: int = 1) -> np.ndarray:
     n, kb = packed.shape
+    if shards > 1:
+        out = unpermute_group_transpose_nib4(
+            packed.reshape(n * shards, kb // shards), group)
+        return out.reshape(n, kb)
     k = kb * 2
     ng = k // group
     lo = (packed & 0x0F).reshape(n, group // 2, ng)

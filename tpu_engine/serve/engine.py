@@ -73,6 +73,7 @@ class InferenceEngine:
         clip=None,  # clipvit.model.ClipModel for multimodal (mmproj)
         prefill_buckets=PREFILL_BUCKETS,
         decode_chunk: int | None = None,
+        mesh=None,  # jax Mesh with a "model" axis: tensor-parallel serving
     ):
         from ..utils.jaxinit import setup_compilation_cache
 
@@ -97,6 +98,19 @@ class InferenceEngine:
             kind=cache_type,
         )
         self.slots = [Slot(i, self.slot_ctx) for i in range(n_parallel)]
+
+        # tensor parallelism: run the SAME step functions inside shard_map
+        # so the Pallas kernels execute per-shard with explicit psums
+        # (dist/tp.py); weights must be loaded with TPSharder(mesh)
+        self.mesh = mesh
+        if mesh is not None and mesh.shape.get("model", 1) > 1:
+            from ..dist import tp
+
+            self._step, self._dloop = tp.make_tp_functions(
+                mesh, model.weights, self.cfg)
+            self.cache = tp.shard_cache_tp(self.cache, mesh)
+        else:
+            self._step, self._dloop = forward_step, decode_loop
 
         # multi-token device decode: tokens sampled on-device per host
         # round-trip (sampling/device.py); 1 disables
@@ -218,7 +232,7 @@ class InferenceEngine:
                 break
             time.sleep(0.01)
         S = self.n_parallel
-        logits, self.cache, _ = forward_step(
+        logits, self.cache, _ = self._step(
             self.model.weights, self.cache,
             jnp.zeros((S, 1), jnp.int32), jnp.arange(S, dtype=jnp.int32),
             jnp.zeros((S,), bool), self.cfg,
@@ -534,7 +548,7 @@ class InferenceEngine:
                           max(self.prefill_buckets))
             chunk = min(chunk, bucket)
             toks = self.sys_tokens[done : done + chunk]
-            _, self.cache, _ = forward_step(
+            _, self.cache, _ = self._step(
                 self.model.weights, self.cache,
                 jnp.asarray([toks + [0] * (bucket - chunk)], jnp.int32),
                 jnp.asarray([0], jnp.int32), jnp.asarray([True]), self.cfg,
@@ -611,7 +625,7 @@ class InferenceEngine:
         want_hidden = bool(s.params and s.params.embedding)
 
         t0 = time.time()
-        logits, self.cache, pooled = forward_step(
+        logits, self.cache, pooled = self._step(
             self.model.weights, self.cache,
             jnp.asarray([padded], jnp.int32),
             jnp.asarray([s.id], jnp.int32),
@@ -676,7 +690,7 @@ class InferenceEngine:
             is_last = seg_last and s.seg_idx == len(s.segments) - 1
             toks = data[s.seg_off : s.seg_off + chunk]
             padded = toks + [0] * (bucket - chunk)
-            logits, self.cache, _ = forward_step(
+            logits, self.cache, _ = self._step(
                 self.model.weights, self.cache,
                 jnp.asarray([padded], jnp.int32),
                 jnp.asarray([s.id], jnp.int32), jnp.asarray([True]), self.cfg,
@@ -686,7 +700,7 @@ class InferenceEngine:
             s.cache_tokens.extend(toks)
         else:
             embd = data[s.seg_off : s.seg_off + chunk]
-            logits, self.cache, _ = forward_step(
+            logits, self.cache, _ = self._step(
                 self.model.weights, self.cache,
                 jnp.zeros((1, chunk), jnp.int32),
                 jnp.asarray([s.id], jnp.int32), jnp.asarray([True]), self.cfg,
@@ -738,7 +752,7 @@ class InferenceEngine:
         for s in gen:
             tokens[s.id, 0] = s.generated_tokens[-1]
             active[s.id] = True
-        logits, self.cache, _ = forward_step(
+        logits, self.cache, _ = self._step(
             self.model.weights, self.cache,
             jnp.asarray(tokens), jnp.arange(S, dtype=jnp.int32),
             jnp.asarray(active), self.cfg,
@@ -813,7 +827,7 @@ class InferenceEngine:
         else:
             tokens_dev = self._last_tok_dev
 
-        toks_dev, self._last_tok_dev, self.cache, self._dev_state = decode_loop(
+        toks_dev, self._last_tok_dev, self.cache, self._dev_state = self._dloop(
             self.model.weights, self.cache, tokens_dev,
             jnp.asarray(active_np), self.cfg,
             self._dev_params, self._dev_state, n_inner,

@@ -125,7 +125,28 @@ class EngineRegistry:
         model_type = str(body.get("model_type", "llm"))
         is_embedding = bool(body.get("embedding", model_type == "embedding"))
 
-        lm = load_model(str(path))
+        # tensor parallelism across the attached chips (TPU-native addition;
+        # the reference is single-device — SURVEY.md section 2c). The Pallas
+        # kernels run per-shard via shard_map (dist/tp.py).
+        tp_req = body.get("tensor_parallel", 1)
+        import jax as _jx
+        n_dev = len(_jx.devices())
+        tp_size = n_dev if str(tp_req) == "auto" else int(tp_req)
+        mesh = None
+        if tp_size > 1:
+            from ..dist import tp as _tp
+
+            if tp_size > n_dev:
+                return False, (f"tensor_parallel={tp_size} but only "
+                               f"{n_dev} devices attached")
+            mesh = _tp.tp_mesh(tp_size)
+            lm = load_model(str(path), sharder=_tp.TPSharder(mesh))
+            try:
+                _tp.validate_tp(lm.cfg, lm.weights, tp_size)
+            except ValueError as e:
+                return False, str(e)
+        else:
+            lm = load_model(str(path))
 
         # multimodal: mmproj clip model (reference LoadModel,
         # llama_server_context.cc:182-242)
@@ -160,6 +181,7 @@ class EngineRegistry:
             grp_attn_w=int(body.get("grp_attn_w", 512)),
             cache_type=cache_type,
             clip=clip,
+            mesh=mesh,
         )
         prompts = ModelPrompts(
             user_prompt=str(body.get("user_prompt", "USER: ")),
