@@ -150,18 +150,22 @@ def qmm_var(x, qs, scale, bias, *, variant: str, group: int, n: int, k: int,
     )(xl, xh, xs, qs, sc_eff, b_eff)
 
 
-def scan_time(fn, x0, n=512, reps=3):
-    stepped = jax.jit(lambda x: jax.lax.scan(
-        lambda c, _: (fn(c), None), x, None, length=n)[0])
-    r = stepped(x0)
-    jax.block_until_ready(r)
-    best = 1e9
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        r = stepped(x0)
-        jax.block_until_ready(r)
-        best = min(best, time.perf_counter() - t0)
-    return best / n * 1e6
+def scan_time(fn, x0, reps=4):
+    """us/iteration by SLOPE between two scan lengths: block_until_ready is
+    a no-op on the axon remote runtime, so a D2H pull (np.asarray, ~27 ms
+    fixed) forces the sync and the slope cancels it."""
+    def timed(n):
+        stepped = jax.jit(lambda x: jax.lax.scan(
+            lambda c, _: (fn(c), None), x, None, length=n)[0])
+        np.asarray(stepped(x0))
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(stepped(x0))
+            best = min(best, time.perf_counter() - t0)
+        return best
+    t1, t2 = timed(64), timed(320)
+    return (t2 - t1) / 256 * 1e6
 
 
 def main():

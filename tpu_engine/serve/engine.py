@@ -36,17 +36,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..kvcache.cache import clear_all, new_cache, shift_compact, trim
+from ..kvcache.cache import new_cache
 from ..model.llama import decode_loop, forward_step
 from ..model.loader import LoadedModel
 from ..sampling import Sampler
-from ..sampling.device import (
-    DeviceSamplerState,
-    device_compatible,
-    new_state,
-    params_from_host,
-    ring_from_tokens,
-)
+from ..sampling.device import device_compatible
+from .ops import EngineOps
 from ..tokenizer import StreamDetokenizer
 from ..utils.text import find_full_stop, partial_stop_len
 from .slot import Slot, SlotState
@@ -74,6 +69,7 @@ class InferenceEngine:
         prefill_buckets=PREFILL_BUCKETS,
         decode_chunk: int | None = None,
         mesh=None,  # jax Mesh with a "model" axis: tensor-parallel serving
+        ops_factory=None,  # dist/multihost.py: broadcasting EngineOps
     ):
         from ..utils.jaxinit import setup_compilation_cache
 
@@ -92,7 +88,7 @@ class InferenceEngine:
         self.prefill_buckets = tuple(b for b in prefill_buckets if b <= max(n_batch, 16))
 
         self.clip = clip
-        self.cache = new_cache(
+        cache = new_cache(
             self.cfg.n_layer, n_parallel, self.slot_ctx,
             self.cfg.n_kv_head, self.cfg.head_dim, dtype=kv_cache_dtype,
             kind=cache_type,
@@ -106,30 +102,42 @@ class InferenceEngine:
         if mesh is not None and mesh.shape.get("model", 1) > 1:
             from ..dist import tp
 
-            self._step, self._dloop = tp.make_tp_functions(
+            step_fn, dloop_fn = tp.make_tp_functions(
                 mesh, model.weights, self.cfg)
-            self.cache = tp.shard_cache_tp(self.cache, mesh)
+            cache = tp.shard_cache_tp(cache, mesh)
         else:
-            self._step, self._dloop = forward_step, decode_loop
+            step_fn, dloop_fn = forward_step, decode_loop
 
         # multi-token device decode: tokens sampled on-device per host
-        # round-trip (sampling/device.py); 1 disables
+        # round-trip (sampling/device.py); 1 disables. Streaming clients get
+        # a smaller chunk so SSE deltas arrive every ~chunk tokens instead
+        # of in decode_chunk-token bursts (stop-words also fire sooner).
         if decode_chunk is None:
-            decode_chunk = int(os.environ.get("TPU_ENGINE_DECODE_CHUNK", "32"))
+            decode_chunk = int(os.environ.get("TPU_ENGINE_DECODE_CHUNK", "64"))
         self.decode_chunk = max(decode_chunk, 1)
-        # pulling any output of an execution can drag the whole result
-        # bundle host-side (remote runtimes); route pulls through a tiny
-        # separate execution so only the tokens travel
-        self._extract = jax.jit(lambda t: t + 0)
+        self.stream_chunk = max(
+            min(int(os.environ.get("TPU_ENGINE_STREAM_CHUNK", "16")),
+                self.decode_chunk), 1)
+        # every device-touching call goes through the ops layer (ops.py);
+        # a multi-host deployment substitutes a broadcasting subclass
+        # (dist/multihost.py) so host 0's per-step decisions replay on
+        # every process (SURVEY.md section 7)
+        if ops_factory is not None:
+            self.ops = ops_factory(model, self.cfg, cache, step_fn, dloop_fn,
+                                   grp_attn_n, grp_attn_w, mesh)
+        else:
+            self.ops = EngineOps(model, self.cfg, cache, step_fn, dloop_fn,
+                                 grp_attn_n, grp_attn_w, mesh)
         self._dev_sig = None
-        self._dev_params = None
-        self._dev_state: DeviceSamplerState | None = None
-        # in-flight speculative decode chunk (see _decode_multi)
-        self._spec: dict | None = None
+        # in-flight speculative decode chunks, oldest first (_decode_multi).
+        # Depth 2 keeps the device queue non-empty across the dispatch RTT
+        # (measured on the axon tunnel: depth 1 leaves a ~30 ms bubble per
+        # chunk; depth 2 recovers ~19% aggregate throughput).
+        self._spec_q: list[dict] = []
+        self._spec_depth = max(int(os.environ.get("TPU_ENGINE_SPEC_DEPTH", "2")), 1)
         # Fresh entropy per engine so unseeded requests don't reproduce the
         # same streams across server restarts (reference seeds randomly too).
         self._dev_seed = int.from_bytes(os.urandom(4), "little")
-        self._last_tok_dev = None
 
         # system-prompt KV prefix shared by all slots (reference
         # system_prompt/system_tokens, llama_server_context.cc:643-666)
@@ -149,6 +157,10 @@ class InferenceEngine:
         self.start_time = time.time()
         self._thread = threading.Thread(target=self._loop, daemon=True, name="engine-loop")
         self._thread.start()
+
+    @property
+    def cache(self):
+        return self.ops.cache
 
     # ------------------------------------------------------------------ api
     def request_completion(self, params: CompletionParams) -> int:
@@ -192,6 +204,7 @@ class InferenceEngine:
 
     def shutdown(self) -> None:
         """Reference: ReleaseResources (:366-380)."""
+        self.ops.shutdown()
         self._running = False
         with self._wake:
             self._wake.notify()
@@ -228,17 +241,15 @@ class InferenceEngine:
         # the engine thread may still be settling a speculative chunk from
         # the warm-up requests; wait for quiescence before touching the cache
         for _ in range(3000):
-            if self._spec is None and not any(s.is_processing() for s in self.slots):
+            if not self._spec_q and not any(s.is_processing() for s in self.slots):
                 break
             time.sleep(0.01)
         S = self.n_parallel
-        logits, self.cache, _ = self._step(
-            self.model.weights, self.cache,
-            jnp.zeros((S, 1), jnp.int32), jnp.arange(S, dtype=jnp.int32),
-            jnp.zeros((S,), bool), self.cfg,
-            ga_n=self.ga_n, ga_w=self.ga_w,
+        logits, _ = self.ops.step(
+            np.zeros((S, 1), np.int32), np.arange(S, dtype=np.int32),
+            np.zeros((S,), bool),
         )
-        np.asarray(self._extract(logits))
+        self.ops.pull(logits)
 
     # ------------------------------------------------------------- internals
     def _emit(self, task_id: int, res: TaskResult) -> None:
@@ -257,8 +268,8 @@ class InferenceEngine:
                 t_tasks = time.time()
                 busy = any(s.is_processing() for s in self.slots)
                 if not busy:
-                    if self._spec is not None:
-                        self._settle_spec()
+                    if self._spec_q:
+                        self._settle_all()
                         busy = any(s.is_processing() for s in self.slots)
                         if busy:
                             continue
@@ -267,7 +278,7 @@ class InferenceEngine:
                             # re-seed the system prefix after the wipe
                             self._update_system_prompt(self.system_prompt)
                         else:
-                            self.cache = clear_all(self.cache)
+                            self.ops.clear_all()
                             for s in self.slots:
                                 s.cache_tokens = []
                                 s.n_past = 0
@@ -285,7 +296,7 @@ class InferenceEngine:
                         (t_tasks - t_it) * 1000, (t_end - t_tasks) * 1000)
                     t_prev_end = t_end
             except Exception as e:  # engine-level failure: fail all active slots
-                self._spec = None
+                self._spec_q = []
                 log.error("engine loop error: %s\n%s", e, traceback.format_exc())
                 for s in self.slots:
                     if s.is_processing():
@@ -295,9 +306,9 @@ class InferenceEngine:
                         s.release()
 
     def _process_tasks(self) -> None:
-        if self._spec is not None and (self._deferred or not self._tasks.empty()):
-            # settle the in-flight chunk before any slot-state change
-            self._settle_spec()
+        if self._spec_q and (self._deferred or not self._tasks.empty()):
+            # settle the in-flight chunks before any slot-state change
+            self._settle_all()
         # retry deferred tasks first (reference defers when no slot is free)
         pending = self._deferred
         self._deferred = []
@@ -447,7 +458,7 @@ class InferenceEngine:
         n_past = n_sys + match
         slot.n_past = n_past
         slot.n_prompt_done = match
-        self.cache = trim(self.cache, jnp.int32(slot.id), jnp.int32(n_past))
+        self.ops.trim(slot.id, n_past)
         slot.cache_tokens = slot.cache_tokens[:n_past]
         # sampler sees the full history incl. reused prefix (ref :1493-1496)
         for t in ids:
@@ -503,7 +514,7 @@ class InferenceEngine:
         slot.n_past = 0
         slot.n_prompt_done = 0
         slot.cache_tokens = []
-        self.cache = trim(self.cache, jnp.int32(slot.id), jnp.int32(0))
+        self.ops.trim(slot.id, 0)
         for t in text_tokens:
             slot.sampler.accept(t, apply_grammar=False)
         slot.timings.prompt_n = total
@@ -527,9 +538,7 @@ class InferenceEngine:
         """Decode the system prompt once into slot 0 and copy its KV prefix
         to every slot (reference UpdateSystemPrompt :643-666:
         llama_kv_cache_seq_cp to all sequences). All slots must be idle."""
-        from ..kvcache.cache import seq_cp
-
-        self.cache = clear_all(self.cache)
+        self.ops.clear_all()
         self.system_prompt = text
         self.sys_tokens = (
             self.tok.encode(text, add_special=True, parse_special=True)
@@ -548,19 +557,16 @@ class InferenceEngine:
                           max(self.prefill_buckets))
             chunk = min(chunk, bucket)
             toks = self.sys_tokens[done : done + chunk]
-            _, self.cache, _ = self._step(
-                self.model.weights, self.cache,
-                jnp.asarray([toks + [0] * (bucket - chunk)], jnp.int32),
-                jnp.asarray([0], jnp.int32), jnp.asarray([True]), self.cfg,
-                ga_n=self.ga_n, ga_w=self.ga_w,
-                n_valid=jnp.asarray([chunk], jnp.int32),
+            self.ops.step(
+                [toks + [0] * (bucket - chunk)], [0], [True],
+                n_valid=[chunk],
             )
             done += chunk
             if chunk <= 0:  # system prompt exceeds the slot context
                 self.sys_tokens = self.sys_tokens[:done]
                 break
         for i in range(1, self.n_parallel):
-            self.cache = seq_cp(self.cache, jnp.int32(0), jnp.int32(i))
+            self.ops.seq_cp(0, i)
         for s in self.slots:
             s.cache_tokens = list(self.sys_tokens)
             s.n_past = len(self.sys_tokens)
@@ -569,11 +575,11 @@ class InferenceEngine:
     def _update_slots(self) -> None:
         """One engine iteration (reference UpdateSlots :1248-1710)."""
         # 1) context shift for generating slots at capacity (ref :1274-1306)
-        if self._spec is not None and any(
+        if self._spec_q and any(
             s.state == SlotState.GENERATING and s.n_past >= self.slot_ctx
             for s in self.slots
         ):
-            self._settle_spec()
+            self._settle_all()
         for s in self.slots:
             if s.state == SlotState.GENERATING and s.n_past >= self.slot_ctx:
                 if not self.ctx_shift:
@@ -589,9 +595,7 @@ class InferenceEngine:
                 # the p0 = n_sys + ... offsets, :1276-1290)
                 n_keep += len(self.sys_tokens)
                 n_discard = max((s.n_past - n_keep) // 2, 1)
-                self.cache = shift_compact(
-                    self.cache, jnp.int32(s.id), jnp.int32(n_keep), jnp.int32(n_discard)
-                )
+                self.ops.shift_compact(s.id, n_keep, n_discard)
                 s.cache_tokens = s.cache_tokens[:n_keep + 1] + s.cache_tokens[n_keep + 1 + n_discard:]
                 s.n_past -= n_discard
                 s.truncated = True
@@ -625,15 +629,9 @@ class InferenceEngine:
         want_hidden = bool(s.params and s.params.embedding)
 
         t0 = time.time()
-        logits, self.cache, pooled = self._step(
-            self.model.weights, self.cache,
-            jnp.asarray([padded], jnp.int32),
-            jnp.asarray([s.id], jnp.int32),
-            jnp.asarray([True]),
-            self.cfg,
-            ga_n=self.ga_n, ga_w=self.ga_w,
-            n_valid=jnp.asarray([chunk], jnp.int32),
-            collect_hidden=want_hidden,
+        logits, pooled = self.ops.step(
+            [padded], [s.id], [True],
+            n_valid=[chunk], collect_hidden=want_hidden,
         )
         if self._trace:
             log.info("prefill slot=%d bucket=%d chunk=%d last=%s dispatch=%.0fms",
@@ -662,7 +660,7 @@ class InferenceEngine:
             return
         s.state = SlotState.GENERATING
         t0 = time.time()
-        row = np.asarray(self._extract(logits))[0]
+        row = self.ops.pull(logits)[0]
         if self._trace:
             log.info("prefill slot=%d first-logits pull=%.0fms", s.id,
                      (time.time() - t0) * 1000)
@@ -690,23 +688,15 @@ class InferenceEngine:
             is_last = seg_last and s.seg_idx == len(s.segments) - 1
             toks = data[s.seg_off : s.seg_off + chunk]
             padded = toks + [0] * (bucket - chunk)
-            logits, self.cache, _ = self._step(
-                self.model.weights, self.cache,
-                jnp.asarray([padded], jnp.int32),
-                jnp.asarray([s.id], jnp.int32), jnp.asarray([True]), self.cfg,
-                ga_n=self.ga_n, ga_w=self.ga_w,
-                n_valid=jnp.asarray([chunk], jnp.int32),
+            logits, _ = self.ops.step(
+                [padded], [s.id], [True], n_valid=[chunk],
             )
             s.cache_tokens.extend(toks)
         else:
             embd = data[s.seg_off : s.seg_off + chunk]
-            logits, self.cache, _ = self._step(
-                self.model.weights, self.cache,
-                jnp.zeros((1, chunk), jnp.int32),
-                jnp.asarray([s.id], jnp.int32), jnp.asarray([True]), self.cfg,
-                ga_n=self.ga_n, ga_w=self.ga_w,
-                n_valid=jnp.asarray([chunk], jnp.int32),
-                embd=jnp.asarray(embd, jnp.float32)[None],
+            logits, _ = self.ops.step(
+                np.zeros((1, chunk), np.int32), [s.id], [True],
+                n_valid=[chunk], embd=np.asarray(embd, np.float32)[None],
             )
             s.cache_tokens.extend([-1] * chunk)  # image cells
         if self._trace:
@@ -724,24 +714,39 @@ class InferenceEngine:
         s.timings.prompt_ms = (time.time() - s.t_start_prompt) * 1000.0
         s.t_start_gen = time.time()
         s.state = SlotState.GENERATING
-        token = s.sampler.sample(np.asarray(self._extract(logits))[0])
+        token = s.sampler.sample(self.ops.pull(logits)[0])
         self._process_token(s, token)
+
+    def _pick_chunk(self, gen: list[Slot]) -> int:
+        """Largest decode chunk that fits every slot's remaining context;
+        streaming requests cap at stream_chunk for delta cadence."""
+        if self.decode_chunk <= 1:
+            return 1
+        if any(s.params and s.params.stream for s in gen):
+            sizes = [self.stream_chunk]
+        elif self.stream_chunk < self.decode_chunk:
+            sizes = [self.decode_chunk, self.stream_chunk]
+        else:
+            sizes = [self.decode_chunk]
+        for n in sizes:
+            if all(s.n_past + n + 1 <= self.slot_ctx for s in gen):
+                return n
+        return 1
 
     def _decode_step(self) -> None:
         gen = [s for s in self.slots if s.state == SlotState.GENERATING]
         if not gen:
             return
-        n_inner = self.decode_chunk
+        n_inner = self._pick_chunk(gen)
         if (
             n_inner > 1
             and all(device_compatible(s.params.sampling) for s in gen)
             and all(s.sampler.grammar_matcher is None for s in gen)
-            and all(s.n_past + n_inner + 1 <= self.slot_ctx for s in gen)
         ):
             self._decode_multi(gen, n_inner)
             return
-        if self._spec is not None:
-            self._settle_spec()
+        if self._spec_q:
+            self._settle_all()
             gen = [s for s in gen if s.state == SlotState.GENERATING]
             if not gen:
                 return
@@ -752,13 +757,10 @@ class InferenceEngine:
         for s in gen:
             tokens[s.id, 0] = s.generated_tokens[-1]
             active[s.id] = True
-        logits, self.cache, _ = self._step(
-            self.model.weights, self.cache,
-            jnp.asarray(tokens), jnp.arange(S, dtype=jnp.int32),
-            jnp.asarray(active), self.cfg,
-            ga_n=self.ga_n, ga_w=self.ga_w,
+        logits, _ = self.ops.step(
+            tokens, np.arange(S, dtype=np.int32), active,
         )
-        logits_np = np.asarray(self._extract(logits))
+        logits_np = self.ops.pull(logits)
         for s in gen:
             if s.state != SlotState.GENERATING:
                 continue  # released earlier this iteration
@@ -769,46 +771,49 @@ class InferenceEngine:
             s.timings.predicted_ms = (time.time() - s.t_start_gen) * 1000.0
 
     def _decode_multi(self, gen: list[Slot], n_inner: int) -> None:
-        """n_inner decode steps with on-device sampling, double-buffered:
-        while the host pulls and processes chunk i's tokens, chunk i+1 is
-        already executing on the device (its input token is chunk i's last
-        token, which never leaves the device). This hides the dispatch/D2H
-        round-trip AND the host-side stop/stream processing behind device
-        compute. Stop/budget/streaming semantics stay host-side; overrun
-        cells of slots that stop mid-chunk (or whose speculated chunk turns
-        out stale) are trimmed back via kvcache.trim."""
+        """n_inner decode steps with on-device sampling, pipelined: while
+        the host pulls and processes chunk i's tokens, chunks i+1..i+depth
+        are already dispatched (each chunk's input token is the previous
+        chunk's last token, which never leaves the device). This hides the
+        dispatch/D2H round-trip AND the host-side stop/stream processing
+        behind device compute. Stop/budget/streaming semantics stay
+        host-side; overrun cells of slots that stop mid-chunk (or whose
+        speculated chunks turn out stale) are trimmed back via
+        kvcache.trim."""
         sig = tuple(sorted((s.id, s.task_id) for s in gen))
-        if self._spec is not None and self._spec["sig"] != sig:
-            # the in-flight chunk was speculated for a different slot set
-            # (slot stopped / new slot joined): settle it — its tokens for
+        if self._spec_q and self._spec_q[0]["sig"] != sig:
+            # the in-flight chunks were speculated for a different slot set
+            # (slot stopped / new slot joined): settle them — tokens for
             # still-running slots are valid and get processed normally
-            self._settle_spec()
+            self._settle_all()
             gen = [s for s in gen if s.state == SlotState.GENERATING]
             if not gen:
                 return
             sig = tuple(sorted((s.id, s.task_id) for s in gen))
-        if self._spec is None:
+        if not self._spec_q:
             self._dispatch_chunk(gen, sig, n_inner)
-        spec, self._spec = self._spec, None
-        # speculative next chunk: dispatched BEFORE this chunk's results are
-        # pulled, so the device never idles between chunks
-        if self._can_speculate(gen, n_inner):
+        # keep the device queue at spec_depth chunks so it never idles
+        # across the pull round-trip
+        while (len(self._spec_q) < self._spec_depth
+               and self._can_speculate(gen, n_inner)):
             self._dispatch_chunk(gen, sig, n_inner)
+        spec = self._spec_q.pop(0)
         t1 = time.time()
-        toks = np.asarray(self._extract(spec["toks"]))  # the single D2H pull
+        toks = self.ops.pull(spec["toks"])  # the single D2H pull
         if self._trace:
-            log.info("decode_multi n=%d pull=%.0fms spec=%s",
+            log.info("decode_multi n=%d pull=%.0fms inflight=%d",
                      spec["n_inner"], (time.time() - t1) * 1000,
-                     self._spec is not None)
+                     len(self._spec_q))
         self._process_chunk(gen, toks, spec["n_inner"])
 
     def _dispatch_chunk(self, gen: list[Slot], sig, n_inner: int) -> None:
-        """Launch one decode_loop chunk asynchronously; record it in
-        self._spec for later settling."""
+        """Launch one decode_loop chunk asynchronously; append it to
+        self._spec_q for later settling."""
         S = self.n_parallel
         active_np = np.zeros((S,), bool)
         for s in gen:
             active_np[s.id] = True
+        reset = None
         if sig != self._dev_sig:
             by_slot = [None] * S
             prevs: list[list[int]] = [[] for _ in range(S)]
@@ -817,60 +822,56 @@ class InferenceEngine:
                 by_slot[s.id] = s.params.sampling
                 prevs[s.id] = s.sampler.prev
                 pending[s.id] = s.generated_tokens[-1]
-            self._dev_params = params_from_host(by_slot)
-            keys = self._dev_state.keys if self._dev_state is not None else \
-                new_state(S, seed=self._dev_seed).keys
-            self._dev_state = DeviceSamplerState(
-                ring=ring_from_tokens(prevs, S), keys=keys)
-            tokens_dev = jnp.asarray(pending)
+            reset = {"pending": pending, "by_slot": by_slot, "prevs": prevs,
+                     "seed": self._dev_seed}
             self._dev_sig = sig
-        else:
-            tokens_dev = self._last_tok_dev
+        toks_dev = self.ops.dloop(n_inner, active_np, reset=reset)
+        self._spec_q.append({"sig": sig, "toks": toks_dev, "n_inner": n_inner})
 
-        toks_dev, self._last_tok_dev, self.cache, self._dev_state = self._dloop(
-            self.model.weights, self.cache, tokens_dev,
-            jnp.asarray(active_np), self.cfg,
-            self._dev_params, self._dev_state, n_inner,
-            ga_n=self.ga_n, ga_w=self.ga_w,
-        )
-        self._spec = {"sig": sig, "toks": toks_dev, "n_inner": n_inner}
+    def _inflight(self) -> int:
+        return sum(c["n_inner"] for c in self._spec_q)
 
     def _can_speculate(self, gen: list[Slot], n_inner: int) -> bool:
         """Speculate only when nothing is about to change the slot set: no
         queued/deferred tasks, no prompts mid-prefill, everyone has context
-        room and budget for two full chunks."""
+        room and budget for everything in flight plus one more chunk."""
+        ahead = self._inflight() + n_inner
         return (
             self._tasks.empty()
             and not self._deferred
             and not self._kv_clear_requested
             and not any(s.state == SlotState.PROCESSING_PROMPT for s in self.slots)
-            and all(s.n_past + 2 * n_inner + 1 <= self.slot_ctx for s in gen)
-            and all(s.n_remaining < 0 or s.n_remaining > 2 * n_inner for s in gen)
+            and all(s.n_past + ahead + n_inner + 1 <= self.slot_ctx for s in gen)
+            and all(s.n_remaining < 0 or s.n_remaining > ahead + n_inner
+                    for s in gen)
         )
 
-    def _settle_spec(self) -> None:
-        """Pull and process the in-flight speculative chunk. Tokens for
-        slots still running the same task are processed normally; cache
-        cells appended for slots that have since stopped are trimmed (a
-        slot relaunched with a NEW task is left alone — its launch-time
-        trim/prefill already executed after this chunk in device order)."""
-        spec, self._spec = self._spec, None
-        if spec is None:
+    def _settle_all(self) -> None:
+        """Pull and process every in-flight speculative chunk, oldest
+        first. Tokens for slots still running the same task are processed
+        normally; cache cells appended for slots that have since stopped
+        are trimmed (a slot relaunched with a NEW task is left alone — its
+        launch-time trim/prefill already executed after these chunks in
+        device order)."""
+        specs, self._spec_q = self._spec_q, []
+        if not specs:
             return
-        toks = np.asarray(self._extract(spec["toks"]))
-        gen = [
-            self.slots[sid] for sid, tid in spec["sig"]
-            if self.slots[sid].task_id == tid
-            and self.slots[sid].state == SlotState.GENERATING
-        ]
-        self._process_chunk(gen, toks, spec["n_inner"])
-        for sid, tid in spec["sig"]:
+        sig = specs[0]["sig"]  # all queued chunks share one signature
+        for spec in specs:
+            toks = self.ops.pull(spec["toks"])
+            gen = [
+                self.slots[sid] for sid, tid in spec["sig"]
+                if self.slots[sid].task_id == tid
+                and self.slots[sid].state == SlotState.GENERATING
+            ]
+            self._process_chunk(gen, toks, spec["n_inner"])
+        for sid, tid in sig:
             s = self.slots[sid]
             if s.task_id == tid and s.state == SlotState.GENERATING:
                 continue  # processed above (and trimmed if it stopped)
             if s.is_processing() and s.task_id != tid:
                 continue  # relaunched: its cells were re-managed at launch
-            self.cache = trim(self.cache, jnp.int32(sid), jnp.int32(s.n_past))
+            self.ops.trim(sid, s.n_past)
 
     def _process_chunk(self, gen: list[Slot], toks: np.ndarray,
                        n_inner: int) -> None:
@@ -886,8 +887,7 @@ class InferenceEngine:
                 self._process_token(s, tok)
                 if s.state != SlotState.GENERATING:
                     # overrun cells beyond n_past are stale; trim them
-                    self.cache = trim(self.cache, jnp.int32(s.id),
-                                      jnp.int32(s.n_past))
+                    self.ops.trim(s.id, s.n_past)
                     n_trims += 1
                     break
                 pending = tok
@@ -977,7 +977,7 @@ class InferenceEngine:
 
     def _send_embedding(self, s: Slot) -> None:
         """Reference: SendEmbedding (:1026-1070), mean pooling + L2 norm."""
-        vec = np.asarray(s.embed_sum, np.float64) / max(s.embed_count, 1)
+        vec = np.asarray(self.ops.pull(s.embed_sum), np.float64) / max(s.embed_count, 1)
         norm = float(np.linalg.norm(vec))
         if norm > 0:
             vec = vec / norm

@@ -1,0 +1,142 @@
+"""The engine's device-op layer.
+
+Every device-touching call the serving engine makes — prefill/decode steps,
+decode chunks with on-device sampling, KV-cache index ops, result pulls —
+goes through ONE object with numpy-level arguments. Two reasons:
+
+1. Single-host: centralizes device placement (plain arrays single-chip,
+   global replicated arrays under a multi-chip mesh).
+2. Multi-host: the reference has no distributed runtime at all (SURVEY.md
+   section 2c); our multi-host design (SURVEY section 7 "Multi-host
+   continuous batching") keeps ONE logical scheduler on host 0 whose
+   per-step decisions must reach every host so all processes execute the
+   same jitted computation (identical collectives each step).
+   dist/multihost.py subclasses EngineOps so host 0 publishes each op
+   descriptor before executing it and followers replay the identical
+   sequence against their own shards.
+
+The ops object OWNS the device-side mutable state: the KV cache and the
+device-sampler chain (params/state/last-token). The engine owns slots,
+queues, and scheduling.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kvcache.cache import clear_all, seq_cp, shift_compact, trim
+from ..sampling.device import (
+    DeviceSamplerState,
+    new_state,
+    params_from_host,
+    ring_from_tokens,
+)
+
+
+class EngineOps:
+    def __init__(self, model, cfg, cache, step_fn, dloop_fn, ga_n, ga_w,
+                 mesh=None):
+        self.model = model
+        self.cfg = cfg
+        self.cache = cache
+        self._step_fn = step_fn
+        self._dloop_fn = dloop_fn
+        self.ga_n = ga_n
+        self.ga_w = ga_w
+        self.n_slots = int(cache.lengths.shape[0])
+        # pulling any output of an execution can drag the whole result
+        # bundle host-side (remote runtimes); route pulls through a tiny
+        # separate execution so only the pulled array travels
+        self._extract = jax.jit(lambda t: t + 0)
+        self._dev_params = None
+        self._dev_state: DeviceSamplerState | None = None
+        self._last_tok_dev = None
+        self._sharding = None
+        if mesh is not None and len(mesh.devices.flat) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # replicated global placement: required when the mesh spans
+            # multiple processes (multi-host), harmless single-host
+            self._sharding = NamedSharding(mesh, P())
+
+    # ------------------------------------------------------------- helpers
+    def _arr(self, x, dtype=None):
+        a = np.asarray(x, dtype) if dtype is not None else np.asarray(x)
+        if self._sharding is not None:
+            return jax.device_put(a, self._sharding)
+        return jnp.asarray(a)
+
+    # ------------------------------------------------------------ forward
+    def step(self, tokens, slot_ids, active, n_valid=None,
+             collect_hidden=False, embd=None):
+        """One forward_step over a [B, Tc] block; returns (logits, pooled)
+        device arrays. Mutates the owned cache."""
+        logits, self.cache, pooled = self._step_fn(
+            self.model.weights, self.cache,
+            self._arr(tokens, np.int32),
+            self._arr(slot_ids, np.int32),
+            self._arr(active, bool),
+            self.cfg,
+            ga_n=self.ga_n, ga_w=self.ga_w,
+            n_valid=None if n_valid is None else self._arr(n_valid, np.int32),
+            collect_hidden=collect_hidden,
+            embd=None if embd is None else self._arr(embd, np.float32),
+        )
+        return logits, pooled
+
+    # ------------------------------------------------------- decode chunk
+    def dloop(self, n_inner: int, active, reset: dict | None = None):
+        """One decode_loop chunk ([S, n_inner] tokens, on-device sampling).
+
+        reset: {"pending": [S] int32 feed tokens, "by_slot": [SamplingParams
+        or None per slot], "prevs": [S][int] accepted-token tails, "seed":
+        int} rebuilds the device sampler chain; None chains the previous
+        chunk's last token (which never left the device)."""
+        S = self.n_slots
+        if reset is not None:
+            self._dev_params = params_from_host(reset["by_slot"])
+            keys = (self._dev_state.keys if self._dev_state is not None
+                    else self._arr(np.asarray(new_state(S, seed=reset["seed"]).keys)))
+            self._dev_state = DeviceSamplerState(
+                ring=self._arr(np.asarray(
+                    ring_from_tokens(reset["prevs"], S))),
+                keys=keys)
+            if self._sharding is not None:
+                self._dev_params = jax.tree.map(
+                    lambda a: jax.device_put(np.asarray(a), self._sharding),
+                    self._dev_params)
+            tokens_dev = self._arr(reset["pending"], np.int32)
+        else:
+            tokens_dev = self._last_tok_dev
+        toks, self._last_tok_dev, self.cache, self._dev_state = self._dloop_fn(
+            self.model.weights, self.cache, tokens_dev,
+            self._arr(active, bool), self.cfg,
+            self._dev_params, self._dev_state, n_inner,
+            ga_n=self.ga_n, ga_w=self.ga_w,
+        )
+        return toks
+
+    # ------------------------------------------------------------ kv ops
+    def trim(self, slot: int, n: int) -> None:
+        self.cache = trim(self.cache, jnp.int32(slot), jnp.int32(n))
+
+    def seq_cp(self, src: int, dst: int) -> None:
+        self.cache = seq_cp(self.cache, jnp.int32(src), jnp.int32(dst))
+
+    def shift_compact(self, slot: int, n_keep: int, n_discard: int) -> None:
+        self.cache = shift_compact(
+            self.cache, jnp.int32(slot), jnp.int32(n_keep),
+            jnp.int32(n_discard))
+
+    def clear_all(self) -> None:
+        self.cache = clear_all(self.cache)
+
+    # ------------------------------------------------------------- misc
+    def pull(self, arr) -> np.ndarray:
+        """D2H of a (fully-replicated) device array — process-local."""
+        return np.asarray(self._extract(arr))
+
+    def shutdown(self) -> None:
+        pass
