@@ -25,7 +25,7 @@ def tiny_hf_clip(seed=7):
     return CLIPVisionModel(cfg).eval()
 
 
-def write_mmproj(path: str, hf, seed=7, e_llm=E_LLM) -> str:
+def write_mmproj(path: str, hf, seed=7, e_llm=E_LLM, anyres=False) -> str:
     rng = np.random.default_rng(seed)
     vm = hf.vision_model
     cfg = hf.config
@@ -35,6 +35,11 @@ def write_mmproj(path: str, hf, seed=7, e_llm=E_LLM) -> str:
     w.add("clip.has_llava_projector", True)
     w.add("clip.projector_type", "mlp")
     w.add("clip.use_gelu", False)  # quick_gelu
+    if anyres:  # llava-1.6 grid candidates (multiples of image_size)
+        S = cfg.image_size
+        w.add("clip.vision.image_grid_pinpoints",
+              [S, S, 2 * S, S, S, 2 * S, 2 * S, 2 * S])
+        w.add("clip.vision.mm_patch_merge_type", "spatial_unpad")
     w.add("clip.vision.image_size", cfg.image_size)
     w.add("clip.vision.patch_size", cfg.patch_size)
     w.add("clip.vision.embedding_length", cfg.hidden_size)
@@ -78,6 +83,10 @@ def write_mmproj(path: str, hf, seed=7, e_llm=E_LLM) -> str:
     w.add_tensor("mm.0.bias", mm0b, GGMLType.F32)
     w.add_tensor("mm.2.weight", mm2, GGMLType.F32)
     w.add_tensor("mm.2.bias", mm2b, GGMLType.F32)
+    if anyres:
+        w.add_tensor("model.image_newline",
+                     rng.normal(size=(e_llm,)).astype(np.float32),
+                     GGMLType.F32)
     w.write()
     return path, (mm0, mm0b, mm2, mm2b)
 
@@ -213,3 +222,62 @@ def test_engine_multimodal_missing_image(tmp_path):
         assert r.error and "img-3" in r.error_message
     finally:
         eng.shutdown()
+
+
+def test_select_best_resolution():
+    from tpu_engine.clipvit.model import select_best_resolution
+
+    pin = [336, 336, 672, 336, 336, 672, 672, 672]
+    assert select_best_resolution(800, 400, pin) == (672, 336)
+    assert select_best_resolution(400, 800, pin) == (336, 672)
+    # upscaling counts toward effective resolution (public llava algo):
+    # a 500x500 image fills 672x672 with eff=250000 > 336x336's 112896
+    assert select_best_resolution(500, 500, pin) == (672, 672)
+    assert select_best_resolution(300, 300, pin) == (336, 336)
+    assert select_best_resolution(2000, 2000, pin) == (672, 672)
+
+
+def test_anyres_tiling_and_token_count(tmp_path):
+    """llava-1.6: a wide image selects a 1x2 tile grid; output = base
+    patches + unpadded spatial rows each ending in the newline column."""
+    from tpu_engine.clipvit.model import (
+        encode_image, load_clip, preprocess_anyres)
+
+    hf = tiny_hf_clip()
+    path, _ = write_mmproj(str(tmp_path / "mm16.gguf"), hf, anyres=True)
+    model = load_clip(path)
+    cfg = model.cfg
+    assert cfg.is_anyres
+    S, P = cfg.image_size, cfg.patch_size  # 32, 8
+    ns = S // P  # 4
+
+    png = _png_bytes(seed=3, size=(32, 64))  # H=32, W=64 -> grid (1, 2)
+    tiles, grid, scaled = preprocess_anyres(png, cfg)
+    assert grid == (1, 2)
+    assert tiles.shape == (3, 3, S, S)  # base + 2 tiles
+    assert scaled == (2 * S, S)  # exact fit: no padding
+
+    toks = np.asarray(encode_image(model, png))
+    # base ns*ns + spatial (ns rows x (2*ns cols + newline))
+    assert toks.shape == (ns * ns + ns * (2 * ns + 1), E_LLM)
+    assert np.isfinite(toks).all()
+
+
+def test_anyres_unpad_crops_padding(tmp_path):
+    """A 4:1 aspect image on a 2:1 grid leaves padding rows that unpad
+    must crop before the newline columns are appended."""
+    from tpu_engine.clipvit.model import encode_image, load_clip
+
+    hf = tiny_hf_clip()
+    path, _ = write_mmproj(str(tmp_path / "mm16b.gguf"), hf, anyres=True)
+    model = load_clip(path)
+    cfg = model.cfg
+    S, P = cfg.image_size, cfg.patch_size
+    ns = S // P
+
+    png = _png_bytes(seed=4, size=(16, 64))  # H=16, W=64: 4:1
+    toks = np.asarray(encode_image(model, png))
+    # grid (1,2): canvas 32x64, scaled image 64x16 -> 8 pad rows top+bottom
+    # = 1 patch row cropped each side: rows = ns - 2
+    rows = ns - 2
+    assert toks.shape == (ns * ns + rows * (2 * ns + 1), E_LLM)

@@ -298,3 +298,73 @@ def test_self_extend_forward(tiny):
     )
     assert np.abs(np.asarray(ga_l) - np.asarray(base_l)).max() > 1e-4
     assert np.isfinite(np.asarray(ga_l)).all()
+
+
+def test_rot_cache_parity(tmp_path):
+    """rot_cache=True (K stored pre-rotated, upstream llama.cpp design)
+    must produce the same logits as the unrotated cache across prefill +
+    multi-step decode."""
+    from tests.models import build_test_gguf
+    from tpu_engine.model.loader import load_model
+
+    path = str(tmp_path / "m.gguf")
+    build_test_gguf(path, "f32", seed=11)
+    lm = load_model(path)
+    cfg = lm.cfg
+
+    def run(rot):
+        cache = new_cache(cfg.n_layer, 1, 64, cfg.n_kv_head, cfg.head_dim)
+        logits, cache, _ = forward_step(
+            lm.weights, cache, jnp.asarray([[1, 5, 9, 13]], jnp.int32),
+            jnp.asarray([0], jnp.int32), jnp.asarray([True]), cfg,
+            rot_cache=rot)
+        outs = [np.asarray(logits)]
+        for t in (7, 11, 3):
+            logits, cache, _ = forward_step(
+                lm.weights, cache, jnp.asarray([[t]], jnp.int32),
+                jnp.asarray([0], jnp.int32), jnp.asarray([True]), cfg,
+                rot_cache=rot)
+            outs.append(np.asarray(logits))
+        return outs
+
+    for a, b in zip(run(False), run(True)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_rot_cache_shift_compact_rerotates(tmp_path):
+    """Context shift semantics are identical between the two storage
+    designs: rotated storage + re-rope of moved cells (rope=...) must
+    produce the same post-shift decode logits as unrotated storage +
+    plain compaction (both keep the ORIGINAL K/V vectors — like the
+    reference, eviction never recomputes the survivors)."""
+    from tests.models import build_test_gguf
+    from tpu_engine.model.loader import load_model
+
+    path = str(tmp_path / "m.gguf")
+    build_test_gguf(path, "f32", seed=12)
+    lm = load_model(path)
+    cfg = lm.cfg
+    toks = [1, 5, 9, 13, 2, 7, 11, 3]
+    n_keep, n_discard = 2, 3
+
+    def run(rot):
+        cache = new_cache(cfg.n_layer, 1, 32, cfg.n_kv_head, cfg.head_dim)
+        _, cache, _ = forward_step(
+            lm.weights, cache, jnp.asarray([toks], jnp.int32),
+            jnp.asarray([0], jnp.int32), jnp.asarray([True]), cfg,
+            rot_cache=rot)
+        rope = ((cfg.rope_dim, cfg.rope_theta, cfg.rope_scaling)
+                if rot else None)
+        cache = shift_compact(cache, jnp.int32(0), jnp.int32(n_keep),
+                              jnp.int32(n_discard), rope=rope)
+        out = []
+        for t in (4, 17):
+            logits, cache, _ = forward_step(
+                lm.weights, cache, jnp.asarray([[t]], jnp.int32),
+                jnp.asarray([0], jnp.int32), jnp.asarray([True]), cfg,
+                rot_cache=rot)
+            out.append(np.asarray(logits))
+        return out
+
+    for a, b in zip(run(False), run(True)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)

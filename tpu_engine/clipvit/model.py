@@ -44,10 +44,19 @@ class ClipConfig:
     image_mean: tuple
     image_std: tuple
     projector: str  # "mlp"
+    # llava-1.6 "anyres": candidate grid resolutions; empty = llava-1.5
+    # square resize (reference gates 1.6 on n_ctx >= 4096,
+    # llama_server_context.cc:193-205)
+    image_grid_pinpoints: tuple = ()
+    mm_patch_merge_type: str = "flat"  # or "spatial_unpad" (llava-1.6)
 
     @property
     def n_patches(self) -> int:
         return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def is_anyres(self) -> bool:
+        return len(self.image_grid_pinpoints) >= 2
 
     @classmethod
     def from_gguf_metadata(cls, md: dict) -> "ClipConfig":
@@ -64,6 +73,9 @@ class ClipConfig:
             image_mean=tuple(g("image_mean", (0.48145466, 0.4578275, 0.40821073))),
             image_std=tuple(g("image_std", (0.26862954, 0.26130258, 0.27577711))),
             projector=str(md.get("clip.projector_type", "mlp")),
+            image_grid_pinpoints=tuple(
+                int(v) for v in g("image_grid_pinpoints", ())),
+            mm_patch_merge_type=str(g("mm_patch_merge_type", "flat")),
         )
 
 
@@ -122,6 +134,8 @@ def load_clip(path: str) -> ClipModel:
         p["blocks"] = blocks
         p["mm0"] = (_get(g, "mm.0.weight"), _maybe(g, "mm.0.bias"))
         p["mm2"] = (_maybe(g, "mm.2.weight"), _maybe(g, "mm.2.bias"))
+        # llava-1.6 row separator appended after each spatial row
+        p["image_newline"] = _maybe(g, "model.image_newline")
         n_out = p["mm2"][0].shape[0] if p["mm2"][0] is not None else p["mm0"][0].shape[0]
         return ClipModel(cfg=cfg, params=p, n_embd_out=int(n_out))
     finally:
@@ -185,6 +199,14 @@ def _encode(params, pixels: jax.Array, cfg: ClipConfig, n_embd_out: int):
     return x
 
 
+def _normalize(img, cfg: ClipConfig) -> np.ndarray:
+    arr = np.asarray(img, np.float32) / 255.0  # [H, W, 3]
+    mean = np.asarray(cfg.image_mean, np.float32)
+    std = np.asarray(cfg.image_std, np.float32)
+    arr = (arr - mean) / std
+    return np.ascontiguousarray(arr.transpose(2, 0, 1))
+
+
 def preprocess_image(data: bytes, cfg: ClipConfig) -> np.ndarray:
     """Decode + resize + normalize (llava-1.5 square resize; the stb_image
     analog of reference llama_client_slot.h:10). Returns [3, S, S] f32."""
@@ -192,15 +214,102 @@ def preprocess_image(data: bytes, cfg: ClipConfig) -> np.ndarray:
 
     img = Image.open(io.BytesIO(data)).convert("RGB")
     img = img.resize((cfg.image_size, cfg.image_size), Image.BICUBIC)
-    arr = np.asarray(img, np.float32) / 255.0  # [S, S, 3]
-    mean = np.asarray(cfg.image_mean, np.float32)
-    std = np.asarray(cfg.image_std, np.float32)
-    arr = (arr - mean) / std
-    return np.ascontiguousarray(arr.transpose(2, 0, 1))
+    return _normalize(img, cfg)
+
+
+def select_best_resolution(w: int, h: int, pinpoints) -> tuple[int, int]:
+    """llava-1.6 grid selection (public llava anyres algorithm): maximize
+    the effective (downscaled-original) resolution, then minimize wasted
+    grid area. pinpoints: flat [w0, h0, w1, h1, ...]."""
+    best = None
+    best_eff, best_waste = -1, None
+    for i in range(0, len(pinpoints) - 1, 2):
+        gw, gh = int(pinpoints[i]), int(pinpoints[i + 1])
+        scale = min(gw / w, gh / h)
+        dw, dh = int(w * scale), int(h * scale)
+        eff = min(dw * dh, w * h)
+        waste = gw * gh - eff
+        if eff > best_eff or (eff == best_eff and waste < best_waste):
+            best, best_eff, best_waste = (gw, gh), eff, waste
+    return best
+
+
+def preprocess_anyres(data: bytes, cfg: ClipConfig):
+    """llava-1.6 anisotropic tiling: pick the best grid resolution, resize
+    the image to fit (aspect preserved), pad with the mean color (zero
+    after normalization), split into image_size tiles, and prepend the
+    square-resized base image.
+
+    Returns (tiles [1+gh*gw, 3, S, S], grid (gh, gw), scaled (sw, sh) in
+    pixels before padding). Reference behavior: upstream llama.cpp
+    clip_image_preprocess anyres path, which the cortex shim reaches via
+    llava_image_embed_make_with_clip_img
+    (/root/reference/src/llama_server_context.cc:820-822; 1.6 gate
+    :193-205)."""
+    from PIL import Image
+
+    S = cfg.image_size
+    img = Image.open(io.BytesIO(data)).convert("RGB")
+    w, h = img.size
+    gw, gh = select_best_resolution(w, h, cfg.image_grid_pinpoints)
+    scale = min(gw / w, gh / h)
+    sw, sh = max(int(w * scale), 1), max(int(h * scale), 1)
+    fitted = img.resize((sw, sh), Image.BICUBIC)
+    mean_rgb = tuple(int(round(m * 255)) for m in cfg.image_mean)
+    canvas = Image.new("RGB", (gw, gh), mean_rgb)
+    canvas.paste(fitted, ((gw - sw) // 2, (gh - sh) // 2))
+
+    tiles = [_normalize(img.resize((S, S), Image.BICUBIC), cfg)]  # base
+    arr = _normalize(canvas, cfg)  # [3, gh, gw]
+    for ty in range(gh // S):
+        for tx in range(gw // S):
+            tiles.append(np.ascontiguousarray(
+                arr[:, ty * S:(ty + 1) * S, tx * S:(tx + 1) * S]))
+    return np.stack(tiles), (gh // S, gw // S), (sw, sh)
+
+
+def _merge_anyres(feats: jax.Array, grid, scaled, cfg: ClipConfig,
+                  newline) -> jax.Array:
+    """Merge per-tile features, llava-1.6 "spatial_unpad": tiles arranged
+    into one spatial map, the mean-color padding rows/cols cropped away,
+    an image_newline embedding appended to each row, base features first."""
+    gh, gw = grid
+    ns = cfg.image_size // cfg.patch_size
+    E = feats.shape[-1]
+    base, tiles = feats[0], feats[1:]
+    sp = tiles.reshape(gh, gw, ns, ns, E).transpose(0, 2, 1, 3, 4)
+    sp = sp.reshape(gh * ns, gw * ns, E)
+    if cfg.mm_patch_merge_type.startswith("spatial"):
+        # unpad: the scaled image occupies (sh, sw) pixels centered on the
+        # (gh*S, gw*S) canvas; crop the all-padding patch rows/cols
+        sw, sh = scaled
+        ph = max(int(np.floor(((gh * cfg.image_size - sh) / 2)
+                              / cfg.patch_size)), 0)
+        pw = max(int(np.floor(((gw * cfg.image_size - sw) / 2)
+                              / cfg.patch_size)), 0)
+        if ph:
+            sp = sp[ph:-ph or None]
+        if pw:
+            sp = sp[:, pw:-pw or None]
+    if newline is not None:
+        nl = jnp.broadcast_to(newline[None, None, :], (sp.shape[0], 1, E))
+        sp = jnp.concatenate([sp, nl], axis=1)
+    return jnp.concatenate([base, sp.reshape(-1, E)], axis=0)
 
 
 def encode_image(model: ClipModel, image_bytes: bytes) -> jax.Array:
-    """Image bytes -> [n_patches, n_embd_llm] image tokens (reference:
-    llava_image_embed_make_with_clip_img, llama_server_context.cc:820)."""
-    pixels = jnp.asarray(preprocess_image(image_bytes, model.cfg))
-    return _encode(model.params, pixels, model.cfg, model.n_embd_out)
+    """Image bytes -> [n_image_tokens, n_embd_llm] image tokens (reference:
+    llava_image_embed_make_with_clip_img, llama_server_context.cc:820).
+    llava-1.5 mmprojs produce n_patches tokens; llava-1.6 (grid pinpoints
+    present) produce base + unpadded spatial tiles + newline columns."""
+    cfg = model.cfg
+    if cfg.is_anyres:
+        tiles, grid, scaled = preprocess_anyres(image_bytes, cfg)
+        feats = jnp.stack([
+            _encode(model.params, jnp.asarray(t), cfg, model.n_embd_out)
+            for t in tiles
+        ])
+        return _merge_anyres(feats, grid, scaled, cfg,
+                             model.params.get("image_newline"))
+    pixels = jnp.asarray(preprocess_image(image_bytes, cfg))
+    return _encode(model.params, pixels, cfg, model.n_embd_out)

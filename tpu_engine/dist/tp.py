@@ -203,7 +203,7 @@ def make_tp_functions(mesh: Mesh, weights: dict, cfg):
     repl = P()
 
     def fwd(weights, cache, tokens, slot_ids, active, cfg_, ga_n=1, ga_w=0,
-            n_valid=None, collect_hidden=False, embd=None):
+            n_valid=None, collect_hidden=False, embd=None, rot_cache=False):
         cspecs = _cache_specs(cache)
         ga_n = jnp.asarray(ga_n, jnp.int32)
         ga_w = jnp.asarray(ga_w, jnp.int32)
@@ -211,7 +211,7 @@ def make_tp_functions(mesh: Mesh, weights: dict, cfg):
         def body(w, c, t, s, a, gn, gw, nv, e):
             return _forward(w, c, t, s, a, cfg, ga_n=gn, ga_w=gw, n_valid=nv,
                             collect_hidden=collect_hidden, embd=e,
-                            tp_axis=AXIS)
+                            tp_axis=AXIS, rot_cache=rot_cache)
 
         pooled_spec = repl if collect_hidden else None
         sm = _shard_map(
@@ -226,7 +226,7 @@ def make_tp_functions(mesh: Mesh, weights: dict, cfg):
                   n_valid, embd)
 
     def dloop(weights, cache, tokens, active, cfg_, samp_params, samp_state,
-              n_inner, ga_n=1, ga_w=0):
+              n_inner, ga_n=1, ga_w=0, rot_cache=False):
         cspecs = _cache_specs(cache)
         ga_n = jnp.asarray(ga_n, jnp.int32)
         ga_w = jnp.asarray(ga_w, jnp.int32)
@@ -235,7 +235,8 @@ def make_tp_functions(mesh: Mesh, weights: dict, cfg):
 
         def body(w, c, t, a, sp, st, gn, gw):
             return _decode_loop(w, c, t, a, cfg, sp, st, n_inner,
-                                ga_n=gn, ga_w=gw, tp_axis=AXIS)
+                                ga_n=gn, ga_w=gw, tp_axis=AXIS,
+                                rot_cache=rot_cache)
 
         sm = _shard_map(
             body, mesh=mesh,
@@ -246,8 +247,10 @@ def make_tp_functions(mesh: Mesh, weights: dict, cfg):
         return sm(weights, cache, tokens, active, samp_params, samp_state,
                   ga_n, ga_w)
 
-    fwd_jit = jax.jit(fwd, static_argnames=("cfg_", "collect_hidden"),
+    fwd_jit = jax.jit(fwd, static_argnames=("cfg_", "collect_hidden",
+                                            "rot_cache"),
                       donate_argnames=("cache",))
-    dloop_jit = jax.jit(dloop, static_argnames=("cfg_", "n_inner"),
+    dloop_jit = jax.jit(dloop, static_argnames=("cfg_", "n_inner",
+                                                "rot_cache"),
                         donate_argnames=("cache", "samp_state"))
     return fwd_jit, dloop_jit

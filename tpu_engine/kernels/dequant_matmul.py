@@ -36,80 +36,114 @@ from ..model import weights as W
 # dequant intermediates (i32 + 2x f32 + 2x bf16 per packed byte) live on
 # the Mosaic VMEM stack, so the tile AREA must stay under a budget or the
 # kernel hits scoped-vmem OOM (16 MB/core).
-TILE_AREA_BUDGET = 512 * 1024  # packed elements per weight tile
+import os as _os
+
+TILE_AREA_BUDGET = int(_os.environ.get("TPU_ENGINE_QMM_AREA",
+                                       str(512 * 1024)))  # packed elems/tile
 
 
 def _pick_tiles(n: int, plane_rows: int, ng: int):
-    """Choose (tn, tk): tk = m*ng spans m full group-cycles, with m dividing
-    the packed plane rows and tk a multiple of 128 lanes. Prefer the largest
-    tn whose largest admissible tk reaches 1024; otherwise the largest tk."""
+    """Choose (tn, tk, splits): tk = m*ng spans m full group-cycles, with m
+    dividing the packed plane rows and tk a multiple of 128 lanes. Prefer
+    the largest tn whose largest admissible tk reaches 1024; otherwise the
+    largest tk. splits > 1 sub-tiles the in-kernel dequant along k (each
+    sub-tile spans m/splits full group cycles) so tiles up to
+    splits*TILE_AREA_BUDGET fit the VMEM stack — e.g. Q6_K's group=16
+    forces long tk, and without splitting tn would drop to 256 (measured
+    241 GB/s vs ~500 for the group-32 formats on v5e)."""
     tks = [m * ng for m in range(1, plane_rows + 1)
            if plane_rows % m == 0 and (m * ng) % 128 == 0]
     if not tks:
         tks = [plane_rows * ng]  # single tile spanning the whole plane
     best = None
+
+    def splits_for(tn, tk):
+        m = max(tk // ng, 1)
+        for s_ in (1, 2, 4):
+            if tn * tk <= s_ * TILE_AREA_BUDGET and m % s_ == 0:
+                return s_
+        return None
+
     for tn in (512, 256, 128):
         if n % tn:
             continue
-        fit = [tk for tk in tks if tn * tk <= TILE_AREA_BUDGET]
+        fit = [(tk, splits_for(tn, tk)) for tk in tks]
+        fit = [(tk, s_) for tk, s_ in fit if s_ is not None]
         if not fit:
             continue
-        tk = max(fit)
+        tk, s_ = max(fit)
         if best is None:
-            best = (tn, tk)
+            best = (tn, tk, s_)
         elif tk >= 1024 and best[1] < 1024:
-            best = (tn, tk)
+            best = (tn, tk, s_)
         elif tk > best[1] and best[1] < 1024:
-            best = (tn, tk)
+            best = (tn, tk, s_)
     return best
 
 
 def _nib4_kernel(xl_ref, xh_ref, qs_ref, sc_ref, b_ref, out_ref, acc_ref, *,
-                 m: int, n_k: int):
+                 m: int, n_k: int, splits: int = 1):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # bit ops in i32: Mosaic has no u8 vector shifts (arith.shrui on i8)
-    q32 = qs_ref[:].astype(jnp.int32)  # [TN, m*ng]
-    sc = pltpu.repeat(sc_ref[:], m, axis=1) if m > 1 else sc_ref[:]
-    lo = (q32 & 0x0F).astype(jnp.float32) * sc
-    hi = (q32 >> 4).astype(jnp.float32) * sc
-    if b_ref is not None:
-        b = pltpu.repeat(b_ref[:], m, axis=1) if m > 1 else b_ref[:]
-        lo = lo + b
-        hi = hi + b
     dims = (((1,), (1,)), ((), ()))
-    acc_ref[:] += jax.lax.dot_general(
-        xl_ref[:], lo.astype(jnp.bfloat16), dims, preferred_element_type=jnp.float32
-    )
-    acc_ref[:] += jax.lax.dot_general(
-        xh_ref[:], hi.astype(jnp.bfloat16), dims, preferred_element_type=jnp.float32
-    )
+    ms = m // splits
+    sub = qs_ref.shape[1] // splits  # = ms*ng columns per sub-tile
+    sc0 = sc_ref[:]
+    b0 = b_ref[:] if b_ref is not None else None
+    # sub-tiling keeps the dequant intermediates (i32 + f32 + bf16 per
+    # packed byte) within the Mosaic VMEM stack for large tiles; every
+    # sub-tile spans whole group cycles so the scale tile is shared
+    for h in range(splits):
+        # bit ops in i32: Mosaic has no u8 vector shifts (arith.shrui on i8)
+        q32 = qs_ref[:, h * sub:(h + 1) * sub].astype(jnp.int32)
+        sc = pltpu.repeat(sc0, ms, axis=1) if ms > 1 else sc0
+        lo = (q32 & 0x0F).astype(jnp.float32) * sc
+        hi = (q32 >> 4).astype(jnp.float32) * sc
+        if b0 is not None:
+            b = pltpu.repeat(b0, ms, axis=1) if ms > 1 else b0
+            lo = lo + b
+            hi = hi + b
+        acc_ref[:] += jax.lax.dot_general(
+            xl_ref[:, h * sub:(h + 1) * sub], lo.astype(jnp.bfloat16), dims,
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] += jax.lax.dot_general(
+            xh_ref[:, h * sub:(h + 1) * sub], hi.astype(jnp.bfloat16), dims,
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(k == n_k - 1)
     def _():
         out_ref[:] = acc_ref[:]
 
 
-def _i8_kernel(x_ref, qs_ref, sc_ref, b_ref, out_ref, acc_ref, *, m: int, n_k: int):
+def _i8_kernel(x_ref, qs_ref, sc_ref, b_ref, out_ref, acc_ref, *, m: int,
+               n_k: int, splits: int = 1):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    sc = pltpu.repeat(sc_ref[:], m, axis=1) if m > 1 else sc_ref[:]
-    w = qs_ref[:].astype(jnp.int32).astype(jnp.float32) * sc
-    if b_ref is not None:
-        b = pltpu.repeat(b_ref[:], m, axis=1) if m > 1 else b_ref[:]
-        w = w + b
-    acc_ref[:] += jax.lax.dot_general(
-        x_ref[:], w.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    ms = m // splits
+    sub = qs_ref.shape[1] // splits
+    sc0 = sc_ref[:]
+    b0 = b_ref[:] if b_ref is not None else None
+    for h in range(splits):
+        sc = pltpu.repeat(sc0, ms, axis=1) if ms > 1 else sc0
+        w = qs_ref[:, h * sub:(h + 1) * sub].astype(jnp.int32).astype(jnp.float32) * sc
+        if b0 is not None:
+            b = pltpu.repeat(b0, ms, axis=1) if ms > 1 else b0
+            w = w + b
+        acc_ref[:] += jax.lax.dot_general(
+            x_ref[:, h * sub:(h + 1) * sub], w.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(k == n_k - 1)
     def _():
@@ -137,7 +171,7 @@ def _qmm_2d(x, qs, scale, bias, *, kind: str, group: int, n: int, k: int,
     tiles = _pick_tiles(n, plane, ng)
     if tiles is None:
         return None
-    tn, _tk = tiles
+    tn, _tk, _splits = tiles
 
     def sc_spec(tkb):
         # scale [N, ng*shards]: one full chunk group cycle per k-tile; the
@@ -165,12 +199,13 @@ def _qmm_2d(x, qs, scale, bias, *, kind: str, group: int, n: int, k: int,
         if bias is not None:
             in_specs.append(sc_spec(tkb))
             args.append(bias)
-            kernel = functools.partial(_nib4_kernel, m=m, n_k=n_k)
+            kernel = functools.partial(_nib4_kernel, m=m, n_k=n_k,
+                                       splits=_splits)
         else:
             kernel = functools.partial(
                 lambda xl, xh, qs, sc, out, acc, **kw:
                 _nib4_kernel(xl, xh, qs, sc, None, out, acc, **kw),
-                m=m, n_k=n_k)
+                m=m, n_k=n_k, splits=_splits)
     else:  # i8
         tk = _tk
         m = tk // ng
@@ -186,12 +221,13 @@ def _qmm_2d(x, qs, scale, bias, *, kind: str, group: int, n: int, k: int,
         if bias is not None:
             in_specs.append(sc_spec(tk))
             args.append(bias)
-            kernel = functools.partial(_i8_kernel, m=m, n_k=n_k)
+            kernel = functools.partial(_i8_kernel, m=m, n_k=n_k,
+                                       splits=_splits)
         else:
             kernel = functools.partial(
                 lambda x, qs, sc, out, acc, **kw:
                 _i8_kernel(x, qs, sc, None, out, acc, **kw),
-                m=m, n_k=n_k)
+                m=m, n_k=n_k, splits=_splits)
 
     return pl.pallas_call(
         kernel,

@@ -23,10 +23,13 @@ TPU-first design points:
   - KV cells stream from HBM in their STORED form (bf16/f32, q8_0 int8 +
     row scale, q4_0 split-half nibbles) and dequantize in VMEM — a
     materialized full-precision cache never exists.
-  - K history is stored unrotated (kvcache/cache.py invariant); rotation
-    happens here from precomputed cos/sin tables indexed by cell (the
-    self-extend ga_n/ga_w remap is baked into the tables, which XLA CSEs
-    across layers). All models run split-half "neox" rotation:
+  - K history is stored PRE-ROTATED in the common case (rot_cache=True —
+    the upstream llama.cpp design; saved ~150 us/step on v5e) and the
+    kernel skips rotation; context shift re-ropes moved cells
+    (kvcache.shift_compact). When self-extend is on (ga_n>1) K is stored
+    unrotated and rotation happens here from precomputed cos/sin tables
+    indexed by cell (the ga remap is baked into the tables, which XLA
+    CSEs across layers). All models run split-half "neox" rotation:
     "norm"-rope models are de-interleaved at load (model/loader.py
     deinterleave_rope_perm), so the rotate is two lane-dim halves, never
     a lane interleave.
@@ -121,6 +124,7 @@ def _decode_kernel(
     out_ref,
     acc_ref, m_ref, l_ref,
     *, cfg: ModelConfig, kind: str, G: int, Tblk: int, n_kb: int,
+    rotated: bool = False,
 ):
     b = pl.program_id(0)
     kb = pl.program_id(1)
@@ -153,9 +157,12 @@ def _decode_kernel(
             vcells = v_ref[0].reshape(C, v_ref.shape[-1])
             ks = ks_ref[0].reshape(C, 1) if ks_ref is not None else None
             vs = vs_ref[0].reshape(C, 1) if vs_ref is not None else None
-            cos = pltpu.repeat(cos_ref[:], KH, axis=0) if KH > 1 else cos_ref[:]
-            sin = pltpu.repeat(sin_ref[:], KH, axis=0) if KH > 1 else sin_ref[:]
-            kf = _rotate(_dequant_block(kcells, ks, kind), cos, sin, cfg)
+            if rotated:  # K cells stored pre-rotated (llama.cpp design)
+                kf = _dequant_block(kcells, ks, kind)
+            else:
+                cos = pltpu.repeat(cos_ref[:], KH, axis=0) if KH > 1 else cos_ref[:]
+                sin = pltpu.repeat(sin_ref[:], KH, axis=0) if KH > 1 else sin_ref[:]
+                kf = _rotate(_dequant_block(kcells, ks, kind), cos, sin, cfg)
             vf = _dequant_block(vcells, vs, kind)
 
             s = jax.lax.dot_general(
@@ -194,10 +201,12 @@ def _decode_kernel(
         out_ref[0, 0] = out[:H].reshape(KH, G, D).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "kind", "interpret"))
+@functools.partial(jax.jit, static_argnames=("cfg", "kind", "interpret",
+                                              "rotated"))
 def _decode_call(q5, k_new, v_new, k_all, v_all, ks_all, vs_all,
                  li, slots, starts, win, ga,
-                 *, cfg: ModelConfig, kind: str, interpret: bool):
+                 *, cfg: ModelConfig, kind: str, interpret: bool,
+                 rotated: bool = False):
     """q5 [B, 1, KH, G, D]; k/v_new [B, KH, 1, D] rotated in-flight rows;
     cache k/v [L, S, KH, T, Dk]; scales [L, S, KH, T]|None."""
     B, _, KH, G, D = q5.shape
@@ -220,7 +229,10 @@ def _decode_call(q5, k_new, v_new, k_all, v_all, ks_all, vs_all,
     Tpad = Tblk * n_kb
     RQ = _round_up(KH * G, 8)
 
-    cos_t, sin_t = _rope_tables(Tpad, cfg, ga[0], ga[1])
+    if rotated:  # tables unused: one zero block, never re-fetched
+        cos_t = sin_t = jnp.zeros((Tblk, cfg.rope_dim // 2), jnp.float32)
+    else:
+        cos_t, sin_t = _rope_tables(Tpad, cfg, ga[0], ga[1])
 
     def q_map(b, kb, *_):
         return (b, 0, 0, 0, 0)
@@ -235,6 +247,8 @@ def _decode_call(q5, k_new, v_new, k_all, v_all, ks_all, vs_all,
         return (li[0], slots[b], 0, clamp(b, kb, starts), 0)
 
     def tab_map(b, kb, li, slots, starts, win):
+        if rotated:
+            return (0, 0)
         return (clamp(b, kb, starts), 0)
 
     in_specs = [
@@ -258,6 +272,7 @@ def _decode_call(q5, k_new, v_new, k_all, v_all, ks_all, vs_all,
         kernel = lambda li, sl, st, wn, q, kn, vn, k, v, co, si, o, a, m, l, **kw: \
             _decode_kernel(li, sl, st, wn, q, kn, vn, k, v, co, si, None, None,
                            o, a, m, l, **kw)
+    kernel = functools.partial(kernel, rotated=rotated)
 
     if T != Tpad:
         pad = [(0, 0)] * 5
@@ -284,7 +299,7 @@ def _decode_call(q5, k_new, v_new, k_all, v_all, ks_all, vs_all,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(q5.shape, q5.dtype),
         interpret=interpret,
-    )(jnp.asarray([li], jnp.int32), slots, starts, win, *args)
+    )(jnp.asarray([li], jnp.int32), slots, starts, win, *args)  # decode
 
 
 # --------------------------------------------------------------------------
@@ -297,6 +312,7 @@ def _prefill_kernel(
     out_ref,
     acc_ref, m_ref, l_ref,
     *, cfg: ModelConfig, kind: str, G: int, Qblk: int, Tblk: int, n_kb: int,
+    rotated: bool = False,
 ):
     b = pl.program_id(0)
     qb = pl.program_id(2)
@@ -325,8 +341,11 @@ def _prefill_kernel(
         def _():
             ks = ks_ref[0, 0, 0] if ks_ref is not None else None  # [Tblk, 1]
             vs = vs_ref[0, 0, 0] if vs_ref is not None else None
-            kf = _rotate(_dequant_block(k_ref[0, 0, 0], ks, kind),
-                         cos_ref[:], sin_ref[:], cfg)
+            if rotated:  # K cells stored pre-rotated (llama.cpp design)
+                kf = _dequant_block(k_ref[0, 0, 0], ks, kind)
+            else:
+                kf = _rotate(_dequant_block(k_ref[0, 0, 0], ks, kind),
+                             cos_ref[:], sin_ref[:], cfg)
             vf = _dequant_block(v_ref[0, 0, 0], vs, kind)
 
             s = jax.lax.dot_general(
@@ -368,10 +387,12 @@ def _prefill_kernel(
         out_ref[0, :, 0] = out[:rows].reshape(Qblk, G, D).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "kind", "interpret"))
+@functools.partial(jax.jit, static_argnames=("cfg", "kind", "interpret",
+                                              "rotated"))
 def _prefill_call(q5, k_new, v_new, k_all, v_all, ks_all, vs_all,
                   li, slots, starts, n_valid, win, ga,
-                  *, cfg: ModelConfig, kind: str, interpret: bool):
+                  *, cfg: ModelConfig, kind: str, interpret: bool,
+                  rotated: bool = False):
     """q5 [B, Tc, KH, G, D]; k/v_new [B, KH, Tc, D]; cache as _decode_call."""
     B, Tc, KH, G, D = q5.shape
     T = k_all.shape[3]
@@ -386,7 +407,10 @@ def _prefill_call(q5, k_new, v_new, k_all, v_all, ks_all, vs_all,
     n_qb = Tc // Qblk
     RQ = _round_up(Qblk * G, 8)
 
-    cos_t, sin_t = _rope_tables(Tpad, cfg, ga[0], ga[1])
+    if rotated:  # tables unused: one zero block, never re-fetched
+        cos_t = sin_t = jnp.zeros((Tblk, cfg.rope_dim // 2), jnp.float32)
+    else:
+        cos_t, sin_t = _rope_tables(Tpad, cfg, ga[0], ga[1])
 
     def q_map(b, kh, qb, kb, *_):
         return (b, qb, kh, 0, 0)
@@ -401,6 +425,8 @@ def _prefill_call(q5, k_new, v_new, k_all, v_all, ks_all, vs_all,
         return (li[0], slots[b], kh, clamp_kb(b, kb, starts), 0)
 
     def tab_map(b, kh, qb, kb, li, slots, starts, nv, win):
+        if rotated:
+            return (0, 0)
         return (clamp_kb(b, kb, starts), 0)
 
     in_specs = [
@@ -424,6 +450,7 @@ def _prefill_call(q5, k_new, v_new, k_all, v_all, ks_all, vs_all,
         kernel = lambda li, sl, st, nv, wn, q, kn, vn, k, v, co, si, o, a, m, l, **kw: \
             _prefill_kernel(li, sl, st, nv, wn, q, kn, vn, k, v, co, si, None, None,
                             o, a, m, l, **kw)
+    kernel = functools.partial(kernel, rotated=rotated)
 
     if T != Tpad:
         pad = [(0, 0)] * 5
@@ -458,8 +485,11 @@ _INTERPRET = False
 
 
 def flash_attention(q, cache, li, slot_ids, q_pos, n_valid, k_new, v_new,
-                    cfg, ga_n, ga_w):
-    """Drop-in for model.llama.attention_reference (the _ATTN_IMPL hook)."""
+                    cfg, ga_n, ga_w, rot_cache: bool = False):
+    """Drop-in for model.llama.attention_reference (the _ATTN_IMPL hook).
+    rot_cache: K cells are stored PRE-ROTATED (upstream llama.cpp design;
+    the engine enables it when self-extend is off) — skips the in-kernel
+    rotate and the cos/sin table DMA entirely."""
     B, Tc, H, D = q.shape
     KH = k_new.shape[1]  # local kv heads (== cfg.n_kv_head/p under TP)
     G = H // KH
@@ -472,6 +502,7 @@ def flash_attention(q, cache, li, slot_ids, q_pos, n_valid, k_new, v_new,
             q5, k_new, v_new, cache.k, cache.v, cache.k_scale, cache.v_scale,
             li, slot_ids.astype(jnp.int32), starts, win, ga,
             cfg=cfg, kind=cache.kind, interpret=_INTERPRET,
+            rotated=rot_cache,
         )
     else:
         out = _prefill_call(
@@ -479,6 +510,7 @@ def flash_attention(q, cache, li, slot_ids, q_pos, n_valid, k_new, v_new,
             li, slot_ids.astype(jnp.int32), starts,
             n_valid.astype(jnp.int32), win, ga,
             cfg=cfg, kind=cache.kind, interpret=_INTERPRET,
+            rotated=rot_cache,
         )
     return out.reshape(B, Tc, H, D)
 

@@ -5,15 +5,18 @@ TPU-native redesign of llama.cpp's unified KV cache (SURVEY.md section 2b
 at /root/reference/src/llama_server_context.cc:287,1288-1290,1540-1547,661).
 
 Design invariant: slot s occupies cells [0, lengths[s]) contiguously and
-cell i always holds the token at *position* i. K is stored UNROTATED and
-RoPE is applied inside attention using the cell index, so that:
+cell i always holds the token at *position* i. K is stored ROTATED in the
+common case (model/llama.py rot_cache=True — the upstream llama.cpp design,
+which saves the per-cell rotation in every attention call; measured ~150
+us/step on v5e), so:
 
   - seq_rm(slot, n, -1)  == trim:   lengths[s] = n            (metadata only)
   - seq_cp               == row copy of a prefix
-  - context shift        == compact: roll the tail down over the evicted
-    middle; positions renumber automatically (no K re-rotation pass, unlike
-    upstream llama.cpp's K-shift graph)
-  - self-extend          == position remap at attention time (no cache op)
+  - context shift        == compact + re-rope of the moved cells by the
+    constant delta -n_discard (shift_compact rope=...; mirrors upstream
+    llama.cpp's K-shift, incl. requantization for quantized K)
+  - self-extend (ga_n>1) == K stored UNROTATED and position-remapped
+    rotation applied at attention time (no cache op; shift needs no rope)
 
 **Deferred append.** The forward step does NOT write to the cache inside
 the layer loop: attention consumes the step's new K/V rows as separate
@@ -41,6 +44,7 @@ the engine; what matters is the compression ratio and quality):
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -258,24 +262,63 @@ def seq_cp(cache: KVCache, src: jax.Array, dst: jax.Array) -> KVCache:
     return KVCache(k, v, lengths, ks, vs, cache.kind)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("rope",))
 def shift_compact(cache: KVCache, slot: jax.Array, n_keep: jax.Array,
-                  n_discard: jax.Array) -> KVCache:
+                  n_discard: jax.Array,
+                  rope: tuple | None = None) -> KVCache:
     """Context shift: evict cells [n_keep+1, n_keep+1+n_discard) and slide
     the tail down (reference llama_server_context.cc:1274-1306: seq_rm +
     seq_add(-d)). Because cell index == position, the slide renumbers
     positions implicitly.
+
+    rope = (rope_dim, theta, scaling) when the cache stores K ROTATED
+    (model/llama.py rot_cache; the upstream llama.cpp design): moved cells
+    were rotated by their OLD position, so re-rotate them by -n_discard
+    (rotation composition — position-independent, one cos/sin vector).
+    Quantized K is dequantized, re-rotated, and requantized, exactly like
+    upstream llama.cpp's K-shift on a quantized cache.
     """
     T = cache.max_len
     idx = jnp.arange(T, dtype=jnp.int32)
     # source index for each destination cell
     src = jnp.where(idx > n_keep, idx + n_discard, idx)
     src = jnp.minimum(src, T - 1)
+    moved = (src != idx)[None, :, None]  # [1, T, 1] over [KH, T, D*]
 
     def gather_slot(arr):
         # arr [L, S, KH, T, ...]: gather the T axis of the picked slot
         return arr.at[:, slot].set(arr[:, slot][:, :, src])
 
     k, v, ks, vs = _map_planes(cache, gather_slot)
+
+    if rope is not None:
+        rd, theta, scaling = rope
+        half = rd // 2
+        inv_freq = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+        ang = -n_discard.astype(jnp.float32) * inv_freq / scaling  # [half]
+        cos, sin = jnp.cos(ang), jnp.sin(ang)
+
+        def rot_delta(x):  # x [..., T, D] float, split-half rotation
+            x1, x2, rest = x[..., :half], x[..., half:rd], x[..., rd:]
+            out = jnp.concatenate(
+                [x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+            if rest.shape[-1]:
+                out = jnp.concatenate([out, rest], axis=-1)
+            return out
+
+        krow = k[:, slot]  # [L, KH, T, D*]
+        if cache.kind in ("q8_0", "q4_0"):
+            kd = dequant_kv(krow, ks[:, slot], cache.kind)
+            kr = rot_delta(kd)
+            qc, qsc = quantize_kv_rows(kr, cache.kind)
+            mc = moved if cache.kind == "q8_0" else moved
+            k = k.at[:, slot].set(jnp.where(mc, qc, krow))
+            ks = ks.at[:, slot].set(
+                jnp.where(moved[..., 0], qsc, ks[:, slot]))
+        else:
+            kr = rot_delta(krow.astype(jnp.float32))
+            k = k.at[:, slot].set(
+                jnp.where(moved, kr, krow.astype(jnp.float32)).astype(k.dtype))
+
     lengths = cache.lengths.at[slot].set(cache.lengths[slot] - n_discard)
     return KVCache(k, v, lengths, ks, vs, cache.kind)

@@ -63,6 +63,27 @@ def apply_rope(x: jax.Array, pos: jax.Array, cfg: ModelConfig) -> jax.Array:
     return jnp.concatenate([rot, x_pass], axis=-1).astype(x.dtype) if x_pass.size else rot.astype(x.dtype)
 
 
+def apply_rope_storage(x: jax.Array, pos: jax.Array, cfg: ModelConfig) -> jax.Array:
+    """Split-half ("neox") rotation of STORAGE-ORDER K rows
+    x [..., KH, Tc, D] by positions pos [..., Tc] (leading dims broadcast;
+    e.g. x [L, B, KH, Tc, D] with pos [1, B, Tc]). Equivalent values to
+    apply_rope on the head-major view, but computed WITHOUT a transpose
+    between the rope output and the cache update — a transpose there makes
+    XLA layout-assign the whole KV cache transposed and insert a
+    full-cache relayout copy every step (see kvcache._put_slot_windows;
+    measured +2.1 ms/step)."""
+    rd, half = cfg.rope_dim, cfg.rope_dim // 2
+    cos, sin = rope_cos_sin(pos, rd, cfg.rope_theta, cfg.rope_scaling)
+    cos = cos[..., None, :, :]  # [..., 1(KH), Tc, half]
+    sin = sin[..., None, :, :]
+    xf = x.astype(jnp.float32)
+    x1, x2, rest = xf[..., :half], xf[..., half:rd], xf[..., rd:]
+    rot = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    if rest.shape[-1]:
+        rot = jnp.concatenate([rot, rest], axis=-1)
+    return rot.astype(x.dtype)
+
+
 def self_extend_pos(pos: jax.Array, ga_n: jax.Array, ga_w: jax.Array) -> jax.Array:
     """Grouped self-extend position remap (SURVEY.md section 2b
     "Self-extend / group attention"): positions beyond the window w are
@@ -90,9 +111,11 @@ def attention_reference(
     cfg: ModelConfig,
     ga_n: jax.Array,
     ga_w: jax.Array,
+    rot_cache: bool = False,
 ) -> jax.Array:
     """Reference (XLA) attention over the slot cache + in-flight rows.
-    Returns [B, Tc, H, D].
+    Returns [B, Tc, H, D]. rot_cache: K cells stored pre-rotated
+    (kvcache/cache.py) — skip the rotation here.
 
     Cell index == position (kvcache invariant): cache cells < start =
     q_pos[:, 0] are valid history (K rotated here by its possibly
@@ -113,7 +136,9 @@ def attention_reference(
     T = kf.shape[2]
     cell = jnp.arange(T, dtype=jnp.int32)[None, :].repeat(B, 0)  # [B, T]
     kf = jnp.swapaxes(kf, 1, 2)  # [B, T, KH, D] for apply_rope
-    kf = apply_rope(kf, self_extend_pos(cell, ga_n, ga_w), cfg).astype(jnp.float32)
+    if not rot_cache:
+        kf = apply_rope(kf, self_extend_pos(cell, ga_n, ga_w), cfg)
+    kf = kf.astype(jnp.float32)
     vf = jnp.swapaxes(vf, 1, 2)
 
     # key axis = [T cache cells | Tc in-flight rows]
@@ -174,6 +199,7 @@ def _forward(
     collect_hidden: bool = False,
     embd: jax.Array | None = None,
     tp_axis: str | None = None,
+    rot_cache: bool = False,
 ):
     """One engine step over a [B, Tc] token block.
 
@@ -191,6 +217,10 @@ def _forward(
     parallelism (dist/tp.py): weights arrive as local shards (heads / ffn
     columns / vocab rows local), attention + MLP reduce partial sums with
     psum, and vocab-sharded logits are all-gathered. None = single shard.
+
+    rot_cache: store K ROTATED (upstream llama.cpp design — the engine
+    enables it when self-extend is off): attention skips per-cell rotation
+    and context shift re-ropes moved cells (kvcache.shift_compact).
     """
     B, Tc = tokens.shape
     T = cache.max_len
@@ -243,10 +273,12 @@ def _forward(
 
         # DEFERRED append (kvcache docstring): attention sees this step's
         # rows in-flight; the cache write happens once after the layer
-        # loop. Rows are collected in storage order [B, KH, Tc, D] so no
-        # transpose feeds the cache update (see _put_slot_windows).
-        k_new_rot = jnp.swapaxes(
-            apply_rope(hk, self_extend_pos(q_pos, ga_n, ga_w), cfg), 1, 2
+        # loop. Rows are collected in storage order [B, KH, Tc, D]; under
+        # rot_cache the rotation of the STORED rows happens once on the
+        # stacked [L, ...] array below (keeping the per-layer graph feeding
+        # the cache DUS untouched — see _put_slot_windows layout hazard).
+        k_new_rot = apply_rope_storage(
+            jnp.swapaxes(hk, 1, 2), self_extend_pos(q_pos, ga_n, ga_w), cfg
         )  # [B, KH, Tc, D]
         new_k_rows.append(jnp.swapaxes(hk, 1, 2))
         new_v_rows.append(jnp.swapaxes(hv, 1, 2))
@@ -254,6 +286,7 @@ def _forward(
         attn = _ATTN_IMPL(
             q_rot, cache, li, slot_ids, q_pos, n_valid,
             k_new_rot, jnp.swapaxes(hv, 1, 2), cfg, ga_n, ga_w,
+            rot_cache=rot_cache,
         )
         attn = attn.reshape(B, Tc, attn.shape[2] * D)
         attn = qmatmul(attn, lw["wo"])
@@ -304,9 +337,15 @@ def _forward(
         c = cfg.final_logit_softcap
         logits = jnp.tanh(logits / c) * c
 
-    # ONE append for the whole step (all layers, all slots)
+    # ONE append for the whole step (all layers, all slots); under
+    # rot_cache the stored K is rotated HERE, once over the stacked rows
+    # (rotation is position-only, identical across layers)
+    k_stack = jnp.stack(new_k_rows)
+    if rot_cache:
+        k_stack = apply_rope_storage(
+            k_stack, self_extend_pos(q_pos, ga_n, ga_w)[None], cfg)
     cache = append_step(
-        cache, jnp.stack(new_k_rows), jnp.stack(new_v_rows),
+        cache, k_stack, jnp.stack(new_v_rows),
         slot_ids, start, n_valid, active,
     )
     lengths = jnp.where(
@@ -320,7 +359,7 @@ def _forward(
 
 forward_step = partial(
     jax.jit,
-    static_argnames=("cfg", "collect_hidden", "tp_axis"),
+    static_argnames=("cfg", "collect_hidden", "tp_axis", "rot_cache"),
     donate_argnames=("cache",),
 )(_forward)
 
@@ -337,6 +376,7 @@ def _decode_loop(
     ga_n: jax.Array | int = 1,
     ga_w: jax.Array | int = 0,
     tp_axis: str | None = None,
+    rot_cache: bool = False,
 ):
     """n_inner batched decode steps with ON-DEVICE sampling.
 
@@ -354,7 +394,7 @@ def _decode_loop(
         cache, tok, st = carry
         logits, cache, _ = _forward(
             weights, cache, tok[:, None], slot_ids, active, cfg,
-            ga_n=ga_n, ga_w=ga_w, tp_axis=tp_axis,
+            ga_n=ga_n, ga_w=ga_w, tp_axis=tp_axis, rot_cache=rot_cache,
         )
         nxt, st = sample_step(logits, samp_params, st)
         return (cache, nxt, st), nxt
@@ -370,6 +410,6 @@ def _decode_loop(
 
 decode_loop = partial(
     jax.jit,
-    static_argnames=("cfg", "n_inner", "tp_axis"),
+    static_argnames=("cfg", "n_inner", "tp_axis", "rot_cache"),
     donate_argnames=("cache", "samp_state"),
 )(_decode_loop)

@@ -600,25 +600,41 @@ class InferenceEngine:
                 s.n_past -= n_discard
                 s.truncated = True
 
-        # 2) prefill one chunk per prompt-processing slot (ref :1355-1621)
+        # 2) prefill one chunk per prompt-processing slot (ref :1355-1621).
+        # Slots finishing their prompt this iteration return their final
+        # logits; ONE batched pull then samples every first token (a pull
+        # costs a full D2H round-trip — ~27 ms on remote runtimes).
         generating = [s for s in self.slots if s.state == SlotState.GENERATING]
+        ready: list = []
         for s in self.slots:
             if s.state != SlotState.PROCESSING_PROMPT:
                 continue
             if not self.cont_batching and generating:
                 break  # without continuous batching, prompts wait for drain
-            self._prefill_chunk(s)
+            r = self._prefill_chunk(s)
+            if r is not None:
+                ready.append(r)
+        if ready:
+            t0 = time.time()
+            rows = self.ops.pull_rows([lg for _, lg in ready])
+            if self._trace:
+                log.info("first-logits pull x%d=%.0fms", len(ready),
+                         (time.time() - t0) * 1000)
+            for (s, _), row in zip(ready, rows):
+                token = s.sampler.sample(row)
+                self._process_token(s, token)
 
         # 3) one batched decode step for all generating slots (ref :1309-1348)
         self._decode_step()
 
-    def _prefill_chunk(self, s: Slot) -> None:
+    def _prefill_chunk(self, s: Slot):
+        """One prompt chunk; returns (slot, final_logits) when the prompt
+        just finished (the caller batches the first-token pull)."""
         if s.segments:
-            self._prefill_segment(s)
-            return
+            return self._prefill_segment(s)
         remaining = len(s.prompt_tokens) - s.n_prompt_done
         if remaining <= 0:
-            return
+            return None
         chunk = min(remaining, self.n_batch, max(self.prefill_buckets))
         bucket = next((b for b in self.prefill_buckets if b >= chunk),
                       max(self.prefill_buckets))
@@ -651,23 +667,17 @@ class InferenceEngine:
             s.embed_count += chunk
 
         if not is_last:
-            return
+            return None
         s.timings.prompt_ms = (time.time() - s.t_start_prompt) * 1000.0
         s.t_start_gen = time.time()
         if want_hidden:
             self._send_embedding(s)
             s.release()
-            return
+            return None
         s.state = SlotState.GENERATING
-        t0 = time.time()
-        row = self.ops.pull(logits)[0]
-        if self._trace:
-            log.info("prefill slot=%d first-logits pull=%.0fms", s.id,
-                     (time.time() - t0) * 1000)
-        token = s.sampler.sample(row)
-        self._process_token(s, token)
+        return (s, logits)  # caller batches the first-token pulls
 
-    def _prefill_segment(self, s: Slot) -> None:
+    def _prefill_segment(self, s: Slot):
         """One prefill step over the current text/image segment (reference
         IngestImages interleave, llama_server_context.cc:1073-1129).
         Image segments decode by embedding; exact (unbucketed) shapes —
@@ -710,12 +720,11 @@ class InferenceEngine:
             s.seg_idx += 1
             s.seg_off = 0
         if not is_last:
-            return
+            return None
         s.timings.prompt_ms = (time.time() - s.t_start_prompt) * 1000.0
         s.t_start_gen = time.time()
         s.state = SlotState.GENERATING
-        token = s.sampler.sample(self.ops.pull(logits)[0])
-        self._process_token(s, token)
+        return (s, logits)
 
     def _pick_chunk(self, gen: list[Slot]) -> int:
         """Largest decode chunk that fits every slot's remaining context;
@@ -835,15 +844,16 @@ class InferenceEngine:
         """Speculate only when nothing is about to change the slot set: no
         queued/deferred tasks, no prompts mid-prefill, everyone has context
         room and budget for everything in flight plus one more chunk."""
-        ahead = self._inflight() + n_inner
+        ahead = self._inflight() + n_inner  # unprocessed AFTER this dispatch
         return (
             self._tasks.empty()
             and not self._deferred
             and not self._kv_clear_requested
             and not any(s.state == SlotState.PROCESSING_PROMPT for s in self.slots)
-            and all(s.n_past + ahead + n_inner + 1 <= self.slot_ctx for s in gen)
-            and all(s.n_remaining < 0 or s.n_remaining > ahead + n_inner
-                    for s in gen)
+            and all(s.n_past + ahead + 1 <= self.slot_ctx for s in gen)
+            # >= : a chunk whose tokens all fit the budget is REQUIRED
+            # work, not speculation waste (exact-fit tails stay pipelined)
+            and all(s.n_remaining < 0 or s.n_remaining >= ahead for s in gen)
         )
 
     def _settle_all(self) -> None:

@@ -45,6 +45,9 @@ class EngineOps:
         self._dloop_fn = dloop_fn
         self.ga_n = ga_n
         self.ga_w = ga_w
+        # K stored pre-rotated when self-extend is off (llama.cpp design;
+        # kvcache/cache.py docstring) — static per engine
+        self.rot_cache = int(ga_n) <= 1
         self.n_slots = int(cache.lengths.shape[0])
         # pulling any output of an execution can drag the whole result
         # bundle host-side (remote runtimes); route pulls through a tiny
@@ -83,6 +86,7 @@ class EngineOps:
             n_valid=None if n_valid is None else self._arr(n_valid, np.int32),
             collect_hidden=collect_hidden,
             embd=None if embd is None else self._arr(embd, np.float32),
+            rot_cache=self.rot_cache,
         )
         return logits, pooled
 
@@ -114,7 +118,7 @@ class EngineOps:
             self.model.weights, self.cache, tokens_dev,
             self._arr(active, bool), self.cfg,
             self._dev_params, self._dev_state, n_inner,
-            ga_n=self.ga_n, ga_w=self.ga_w,
+            ga_n=self.ga_n, ga_w=self.ga_w, rot_cache=self.rot_cache,
         )
         return toks
 
@@ -126,9 +130,14 @@ class EngineOps:
         self.cache = seq_cp(self.cache, jnp.int32(src), jnp.int32(dst))
 
     def shift_compact(self, slot: int, n_keep: int, n_discard: int) -> None:
+        rope = None
+        if self.rot_cache:
+            # moved K cells must re-rotate by -n_discard (llama.cpp K-shift)
+            rope = (self.cfg.rope_dim, self.cfg.rope_theta,
+                    self.cfg.rope_scaling)
         self.cache = shift_compact(
             self.cache, jnp.int32(slot), jnp.int32(n_keep),
-            jnp.int32(n_discard))
+            jnp.int32(n_discard), rope=rope)
 
     def clear_all(self) -> None:
         self.cache = clear_all(self.cache)
@@ -137,6 +146,19 @@ class EngineOps:
     def pull(self, arr) -> np.ndarray:
         """D2H of a (fully-replicated) device array — process-local."""
         return np.asarray(self._extract(arr))
+
+    def pull_rows(self, arrs: list) -> np.ndarray:
+        """Pull several [1, V] logits rows in ONE device round-trip (the
+        D2H RTT is ~27 ms on remote runtimes; per-slot pulls after a burst
+        of prefills would pay it once per slot). Returns [n, V]."""
+        if len(arrs) == 1:
+            return np.asarray(self._extract(arrs[0]))
+        return np.asarray(self._concat(tuple(arrs)))
+
+    @staticmethod
+    @jax.jit
+    def _concat(arrs):
+        return jnp.concatenate(arrs, axis=0)
 
     def shutdown(self) -> None:
         pass

@@ -167,8 +167,9 @@ class EngineRegistry:
                     f"({clip.n_embd_out}) is not equal to that of the LLM "
                     f"({lm.cfg.n_embd}); use the matching mmproj file")
             # images need room (reference :195-205: >=2048; llava-1.6 4096)
-            if n_ctx < 2048:
-                n_ctx = 2048
+            min_ctx = 4096 if clip.cfg.is_anyres else 2048
+            if n_ctx < min_ctx:
+                n_ctx = min_ctx
 
         engine = InferenceEngine(
             lm,
