@@ -109,12 +109,16 @@ class InferenceEngine:
             step_fn, dloop_fn = forward_step, decode_loop
 
         # multi-token device decode: tokens sampled on-device per host
-        # round-trip (sampling/device.py); 1 disables. Streaming clients get
-        # a smaller chunk so SSE deltas arrive every ~chunk tokens instead
-        # of in decode_chunk-token bursts (stop-words also fire sooner).
+        # round-trip (sampling/device.py); 1 disables. Chunk size adapts to
+        # the clients: streaming gets stream_chunk (SSE delta cadence),
+        # requests with stop-words get stop_chunk (bounds post-stop waste),
+        # plain batch requests get the full decode_chunk.
         if decode_chunk is None:
-            decode_chunk = int(os.environ.get("TPU_ENGINE_DECODE_CHUNK", "64"))
+            decode_chunk = int(os.environ.get("TPU_ENGINE_DECODE_CHUNK", "128"))
         self.decode_chunk = max(decode_chunk, 1)
+        self.stop_chunk = max(
+            min(int(os.environ.get("TPU_ENGINE_STOP_CHUNK", "64")),
+                self.decode_chunk), 1)
         self.stream_chunk = max(
             min(int(os.environ.get("TPU_ENGINE_STREAM_CHUNK", "16")),
                 self.decode_chunk), 1)
@@ -216,22 +220,45 @@ class InferenceEngine:
         context, plus the batched decode paths (first compile of a config is
         tens of seconds on TPU — it must not land in a user request)."""
         bos = self.tok.bos_id if self.tok.bos_id >= 0 else 0
-        tids = []
+
+        def run_phase(reqs):
+            tids = [self.request_completion(p_) for p_ in reqs]
+            for tid in tids:
+                while True:
+                    r = self.next_result(tid)
+                    if r.stop or r.error:
+                        break
+
+        # Phase 1: plain bucket prompts — compiles every prefill bucket,
+        # the grouped [n_slots, bucket] prefill (two same-bucket prompts),
+        # and the full-size decode chunk (n_predict = decode_chunk so the
+        # budget-aware _pick_chunk selects it). Phases run SEQUENTIALLY:
+        # a streaming/stop request sharing the batch would cap everyone's
+        # chunk size and the big executables would never compile.
+        reqs = []
         for b in self.prefill_buckets:
             if b >= self.slot_ctx:
                 break
+            for _ in range(2 if self.n_parallel > 1 else 1):
+                params = CompletionParams(
+                    prompt=[bos] * b,
+                    n_predict=max(min(self.decode_chunk,
+                                      self.slot_ctx - b - 2), 1),
+                    cache_prompt=False)
+                params.sampling.temperature = 0.0
+                reqs.append(params)
+        run_phase(reqs)
+        # Phase 2/3: stop-word and streaming chunk sizes
+        for extra, n_pred in (({"stop": ["\x00warmup\x00"]}, self.stop_chunk),
+                              ({"stream": True}, self.stream_chunk)):
+            if n_pred >= self.decode_chunk:
+                continue  # same executable as phase 1
             params = CompletionParams(
-                prompt=[bos] * b, n_predict=n_predict, cache_prompt=False)
+                prompt=[bos] * 2,
+                n_predict=max(min(n_pred, self.slot_ctx - 4), 1),
+                cache_prompt=False, **extra)
             params.sampling.temperature = 0.0
-            tids.append(self.request_completion(params))
-        # the bucket requests also compile the device-sampled decode chunk
-        # (decode_loop) and its token pull; the chunk-continue path reuses
-        # the same executable (decode_loop returns the next feed token)
-        for tid in tids:
-            while True:
-                r = self.next_result(tid)
-                if r.stop or r.error:
-                    break
+            run_phase([params])
         self._warm_single_decode()
 
     def _warm_single_decode(self) -> None:
@@ -600,20 +627,33 @@ class InferenceEngine:
                 s.n_past -= n_discard
                 s.truncated = True
 
-        # 2) prefill one chunk per prompt-processing slot (ref :1355-1621).
-        # Slots finishing their prompt this iteration return their final
-        # logits; ONE batched pull then samples every first token (a pull
-        # costs a full D2H round-trip — ~27 ms on remote runtimes).
+        # 2) prefill prompt-processing slots (ref :1355-1621). Slots on the
+        # SAME bucket prefill in ONE [n_slots, bucket] call (active-masked,
+        # per-row n_valid); slots finishing their prompt this iteration
+        # return their final logits and ONE batched pull samples every
+        # first token (a pull costs a full D2H round-trip — ~27 ms on
+        # remote runtimes).
         generating = [s for s in self.slots if s.state == SlotState.GENERATING]
         ready: list = []
-        for s in self.slots:
-            if s.state != SlotState.PROCESSING_PROMPT:
-                continue
-            if not self.cont_batching and generating:
-                break  # without continuous batching, prompts wait for drain
-            r = self._prefill_chunk(s)
-            if r is not None:
-                ready.append(r)
+        pending = [s for s in self.slots if s.state == SlotState.PROCESSING_PROMPT]
+        if pending and (self.cont_batching or not generating):
+            groups: dict[int, list[Slot]] = {}
+            singles: list[Slot] = []
+            for s in pending:
+                b = self._bucket_for(s)
+                if b is None:
+                    singles.append(s)
+                else:
+                    groups.setdefault(b, []).append(s)
+            for b, grp in sorted(groups.items()):
+                if len(grp) == 1:
+                    singles.append(grp[0])
+                else:
+                    self._prefill_group(grp, b)
+            for s in singles:
+                r = self._prefill_chunk(s)
+                if r is not None:
+                    ready.append(r)
         if ready:
             t0 = time.time()
             rows = self.ops.pull_rows([lg for _, lg in ready])
@@ -626,6 +666,58 @@ class InferenceEngine:
 
         # 3) one batched decode step for all generating slots (ref :1309-1348)
         self._decode_step()
+
+    def _bucket_for(self, s: Slot) -> int | None:
+        """The prefill bucket this slot's next chunk uses, or None for the
+        per-slot paths (multimodal segments, embeddings, drained)."""
+        if s.segments or (s.params and s.params.embedding):
+            return None
+        remaining = len(s.prompt_tokens) - s.n_prompt_done
+        if remaining <= 0:
+            return None
+        chunk = min(remaining, self.n_batch, max(self.prefill_buckets))
+        return next((b for b in self.prefill_buckets if b >= chunk),
+                    max(self.prefill_buckets))
+
+    def _prefill_group(self, grp: list[Slot], bucket: int) -> None:
+        """Prefill several slots' chunks in ONE [n_slots, bucket] step
+        (active mask + per-row n_valid); finishers sample their first token
+        from a single [n_slots, V] pull. One executable per bucket instead
+        of one B=1 call per slot — a burst of N new prompts costs one
+        dispatch and at most one pull."""
+        S = self.n_parallel
+        tokens = np.zeros((S, bucket), np.int32)
+        active = np.zeros((S,), bool)
+        nv = np.zeros((S,), np.int32)
+        info = []
+        for s in grp:
+            chunk = min(len(s.prompt_tokens) - s.n_prompt_done,
+                        self.n_batch, bucket)
+            toks = s.prompt_tokens[s.n_prompt_done : s.n_prompt_done + chunk]
+            tokens[s.id, :chunk] = toks
+            active[s.id] = True
+            nv[s.id] = chunk
+            info.append((s, chunk, toks))
+        t0 = time.time()
+        logits, _ = self.ops.step(tokens, np.arange(S, dtype=np.int32),
+                                  active, n_valid=nv)
+        if self._trace:
+            log.info("prefill-group n=%d bucket=%d dispatch=%.0fms",
+                     len(grp), bucket, (time.time() - t0) * 1000)
+        rows = None
+        for s, chunk, toks in info:
+            s.n_prompt_done += chunk
+            s.n_past += chunk
+            s.cache_tokens.extend(toks)
+            if s.n_prompt_done < len(s.prompt_tokens):
+                continue
+            s.timings.prompt_ms = (time.time() - s.t_start_prompt) * 1000.0
+            s.t_start_gen = time.time()
+            s.state = SlotState.GENERATING
+            if rows is None:
+                rows = self.ops.pull(logits)  # ONE [S, V] round-trip
+            token = s.sampler.sample(rows[s.id])
+            self._process_token(s, token)
 
     def _prefill_chunk(self, s: Slot):
         """One prompt chunk; returns (slot, final_logits) when the prompt
@@ -727,18 +819,31 @@ class InferenceEngine:
         return (s, logits)
 
     def _pick_chunk(self, gen: list[Slot]) -> int:
-        """Largest decode chunk that fits every slot's remaining context;
-        streaming requests cap at stream_chunk for delta cadence."""
+        """Largest decode chunk that fits every slot's remaining context
+        AND budget; streaming requests cap at stream_chunk (delta cadence),
+        stop-word requests at stop_chunk (bounds tokens decoded past the
+        stop)."""
         if self.decode_chunk <= 1:
             return 1
         if any(s.params and s.params.stream for s in gen):
-            sizes = [self.stream_chunk]
-        elif self.stream_chunk < self.decode_chunk:
-            sizes = [self.decode_chunk, self.stream_chunk]
+            top = self.stream_chunk
+        elif any(s.params and s.params.stop for s in gen):
+            top = self.stop_chunk
         else:
-            sizes = [self.decode_chunk]
+            top = self.decode_chunk
+        # don't decode far past every slot's n_predict budget: pick the
+        # smallest configured size covering the largest remaining budget
+        need = max((s.n_remaining for s in gen), default=-1)
+        if all(s.n_remaining >= 0 for s in gen):
+            for n in sorted({self.decode_chunk, self.stop_chunk,
+                             self.stream_chunk}):
+                if n >= need:
+                    top = min(top, n)
+                    break
+        sizes = sorted({top, self.stop_chunk, self.stream_chunk},
+                       reverse=True)
         for n in sizes:
-            if all(s.n_past + n + 1 <= self.slot_ctx for s in gen):
+            if n <= top and all(s.n_past + n + 1 <= self.slot_ctx for s in gen):
                 return n
         return 1
 
@@ -845,15 +950,19 @@ class InferenceEngine:
         queued/deferred tasks, no prompts mid-prefill, everyone has context
         room and budget for everything in flight plus one more chunk."""
         ahead = self._inflight() + n_inner  # unprocessed AFTER this dispatch
+        # tolerate a quarter-chunk of over-generation (trimmed later):
+        # strict budget gating de-pipelines every request tail — e.g. a
+        # 256-token request with 128-chunks is 255 remaining vs 256 ahead
+        # after its first sampled token, and would run fully serial
+        slack = n_inner // 4
         return (
             self._tasks.empty()
             and not self._deferred
             and not self._kv_clear_requested
             and not any(s.state == SlotState.PROCESSING_PROMPT for s in self.slots)
             and all(s.n_past + ahead + 1 <= self.slot_ctx for s in gen)
-            # >= : a chunk whose tokens all fit the budget is REQUIRED
-            # work, not speculation waste (exact-fit tails stay pipelined)
-            and all(s.n_remaining < 0 or s.n_remaining >= ahead for s in gen)
+            and all(s.n_remaining < 0 or s.n_remaining >= ahead - slack
+                    for s in gen)
         )
 
     def _settle_all(self) -> None:
