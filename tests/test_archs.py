@@ -67,6 +67,24 @@ def tiny_phi3(seed=13):
     return Phi3ForCausalLM(cfg).eval()
 
 
+def tiny_qwen2(seed=11):
+    """Qwen2: attention bias (bq/bk/bv) + neox rope — the bias path the
+    other families don't exercise."""
+    import torch
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = Qwen2Config(
+        vocab_size=VOCAB, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2,
+        intermediate_size=128, max_position_embeddings=2048,
+        rms_norm_eps=1e-5, rope_theta=10000.0, tie_word_embeddings=False,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        attn_implementation="eager",
+    )
+    return Qwen2ForCausalLM(cfg).eval()
+
+
 def hf_logits(hf, ids):
     import torch
 
@@ -79,6 +97,7 @@ def hf_logits(hf, ids):
     (tiny_gemma, "gemma"),
     (tiny_gemma2, "gemma2"),
     (tiny_phi3, "phi3"),
+    (tiny_qwen2, "qwen2"),
 ])
 def test_arch_logits_match_hf(tmp_path, builder, arch):
     hf = builder()
