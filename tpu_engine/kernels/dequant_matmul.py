@@ -238,6 +238,9 @@ def _qmm_2d(x, qs, scale, bias, *, kind: str, group: int, n: int, k: int,
         out_shape=jax.ShapeDtypeStruct((mrows, n), jnp.float32),
         scratch_shapes=[pltpu.VMEM((mrows, tn), jnp.float32)],
         interpret=interpret,
+        # n-tiles are independent; the k axis carries the accumulator
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
     )(*args)
 
 
