@@ -1,0 +1,114 @@
+"""Stress the pipelined decode path (serve/engine.py _spec_q): mixed
+streaming / stop-word / plain clients joining and leaving mid-chunk,
+cancels landing while chunks are in flight, and slot relaunches with
+prompt-cache reuse. Every outcome must be correct regardless of how many
+speculative chunks get trimmed."""
+
+import threading
+import time
+
+import pytest
+
+from tests.models import build_test_gguf
+from tpu_engine.model.loader import load_model
+from tpu_engine.sampling import SamplingParams
+from tpu_engine.serve import CompletionParams, InferenceEngine
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    d = tmp_path_factory.mktemp("churn")
+    path = str(d / "m.gguf")
+    build_test_gguf(path, "q8_0", seed=5)
+    eng = InferenceEngine(load_model(path), n_ctx=512, n_parallel=4,
+                          n_batch=64, prefill_buckets=(16,), decode_chunk=8)
+    yield eng
+    eng.shutdown()
+
+
+def _collect(eng, tid, timeout=300.0):
+    text, n = "", 0
+    while True:
+        r = eng.next_result(tid, timeout=timeout)
+        assert not r.error, r.error_message
+        text += r.text or ""
+        if r.stop:
+            return text, r.tokens_predicted, r
+
+
+def test_mixed_clients_churn(engine):
+    """Plain, streaming, and stop-word requests with different budgets all
+    running concurrently; everyone terminates with its own semantics."""
+    sp = SamplingParams(temperature=0.0)
+    specs = [
+        dict(prompt=[1, 7, 9], n_predict=30, sampling=sp),
+        dict(prompt=[1, 8, 10], n_predict=13, sampling=sp, stream=True),
+        dict(prompt=[1, 9, 11], n_predict=21, sampling=sp,
+             stop=["\x00never\x00"]),
+        dict(prompt=[1, 10, 12], n_predict=5, sampling=sp),
+    ]
+    tids = [engine.request_completion(CompletionParams(**s)) for s in specs]
+    outs = [_collect(engine, t) for t in tids]
+    for (text, n, r), spec in zip(outs, specs):
+        assert n <= spec["n_predict"]
+        # greedy synthetic models never hit EOS early in practice, but a
+        # correct run must never EXCEED the budget; streaming must have
+        # emitted deltas
+    assert outs[3][1] <= 5
+
+
+def test_cancel_mid_pipeline(engine):
+    """Cancel a request while speculative chunks are in flight; the other
+    requests finish unperturbed and the cancelled one returns quickly."""
+    sp = SamplingParams(temperature=0.0)
+    long_tid = engine.request_completion(CompletionParams(
+        prompt=[1, 5, 9], n_predict=200, sampling=sp))
+    other = [engine.request_completion(CompletionParams(
+        prompt=[1, 6 + i, 9], n_predict=24, sampling=sp)) for i in range(2)]
+    time.sleep(0.3)  # let chunks get in flight
+    engine.request_cancel(long_tid)
+    text, n, r = _collect(engine, long_tid)
+    assert n < 200  # stopped early
+    for t in other:
+        _, n2, _ = _collect(engine, t)
+        assert n2 <= 24
+
+
+def test_relaunch_with_prompt_cache_after_trim(engine):
+    """Back-to-back requests sharing a prefix on the same engine: the
+    second run must reuse the cached prefix (tokens_evaluated counts the
+    full prompt; timings.prompt_n only the newly processed part) and
+    produce identical text — speculative-chunk trims from the first run
+    must not corrupt the cache."""
+    sp = SamplingParams(temperature=0.0)
+    prompt = [1, 21, 22, 23, 24, 25]
+    t1 = engine.request_completion(CompletionParams(
+        prompt=prompt, n_predict=12, sampling=sp, cache_prompt=True))
+    text1, n1, r1 = _collect(engine, t1)
+    t2 = engine.request_completion(CompletionParams(
+        prompt=prompt, n_predict=12, sampling=sp, cache_prompt=True))
+    text2, n2, r2 = _collect(engine, t2)
+    assert text1 == text2
+    assert r2.timings["prompt_n"] <= 1  # cached prefix reused
+
+
+def test_burst_exceeding_slots(engine):
+    """More concurrent requests than slots: deferral + LRU slot reuse under
+    the pipelined decode path."""
+    sp = SamplingParams(temperature=0.0)
+    tids = [engine.request_completion(CompletionParams(
+        prompt=[1, 30 + i], n_predict=9, sampling=sp)) for i in range(10)]
+    done = []
+    threads = []
+
+    def wait(tid):
+        done.append(_collect(engine, tid)[1])
+
+    for tid in tids:
+        th = threading.Thread(target=wait, args=(tid,))
+        th.start()
+        threads.append(th)
+    for th in threads:
+        th.join(timeout=300)
+    assert len(done) == 10
+    assert all(n <= 9 for n in done)

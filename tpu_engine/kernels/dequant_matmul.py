@@ -238,9 +238,15 @@ def _qmm_2d(x, qs, scale, bias, *, kind: str, group: int, n: int, k: int,
         out_shape=jax.ShapeDtypeStruct((mrows, n), jnp.float32),
         scratch_shapes=[pltpu.VMEM((mrows, tn), jnp.float32)],
         interpret=interpret,
-        # n-tiles are independent; the k axis carries the accumulator
+        # n-tiles are independent; the k axis carries the accumulator.
+        # allow_input_fusion on the activation operands folds the
+        # group-transpose relayout (reshape/swapaxes/strided-slice chains)
+        # into the kernel's input DMA instead of separate XLA copies.
         compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            allow_input_fusion=[kind == "nib4", kind == "nib4"]
+            + [False] * (len(in_specs) - 2) if kind == "nib4"
+            else [True] + [False] * (len(in_specs) - 1)),
     )(*args)
 
 
