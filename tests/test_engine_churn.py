@@ -112,3 +112,48 @@ def test_burst_exceeding_slots(engine):
         th.join(timeout=300)
     assert len(done) == 10
     assert all(n <= 9 for n in done)
+
+
+def test_preemption_reload(tmp_path):
+    """A failed engine (simulated device loss: every device op raises) is
+    reloaded from its GGUF by the registry on next use (SURVEY section 5
+    preemption-tolerant reload)."""
+    from tpu_engine.serve.registry import EngineRegistry
+
+    path = str(tmp_path / "m.gguf")
+    build_test_gguf(path, "q8_0", seed=6)
+    reg = EngineRegistry()
+    ok, msg = reg.load_model({"model": "m", "llama_model_path": path,
+                              "ctx_len": 128, "n_parallel": 2,
+                              "model_type": "llm"})
+    assert ok, msg
+    entry = reg.check_loaded("m")
+    eng = entry.engine
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated device preemption")
+
+    eng.ops.step = boom
+    eng.ops.dloop = boom
+    sp = SamplingParams(temperature=0.0)
+    # errors accumulate across a few requests until the engine gives up
+    for _ in range(4):
+        tid = eng.request_completion(CompletionParams(
+            prompt=[1, 5], n_predict=4, sampling=sp))
+        r = eng.next_result(tid, timeout=60.0)
+        assert r.error
+        if eng.failed:
+            break
+    assert eng.failed
+
+    # next check_loaded reloads a FRESH engine that serves correctly
+    entry2 = reg.check_loaded("m")
+    assert entry2 is not None and entry2.engine is not eng
+    tid = entry2.engine.request_completion(CompletionParams(
+        prompt=[1, 5], n_predict=4, sampling=sp))
+    while True:
+        r = entry2.engine.next_result(tid, timeout=120.0)
+        assert not r.error, r.error_message
+        if r.stop:
+            break
+    reg.unload_model("m")

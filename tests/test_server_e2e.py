@@ -98,6 +98,13 @@ def test_full_cortex_flow(server):
     assert resp["data"][0]["id"] == "tinyllama"
     assert int(resp["data"][0]["model_size"]) > 0
 
+    # metrics exposition (beyond-reference observability)
+    import urllib.request
+    with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
+        body = r.read().decode()
+    assert "tpu_engine_models_loaded 1" in body
+    assert 'tpu_engine_slots_busy{model="tinyllama"}' in body
+
     # 3) two streamed chat completions (reference runs 2)
     for i in range(2):
         chunks = sse_chat(base, {

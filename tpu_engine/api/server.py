@@ -82,6 +82,18 @@ class Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(data)
 
+    def _send_text(self, body: str, ctype: str = "text/plain") -> None:
+        data = body.encode()
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        try:
+            self.wfile.write(data)
+            self.wfile.flush()
+        except (BrokenPipeError, ConnectionResetError, socket.error):
+            pass
+
     def _start_sse(self) -> None:
         self.send_response(200)
         self.send_header("Content-Type", "text/event-stream")
@@ -113,6 +125,12 @@ class Handler(BaseHTTPRequestHandler):
             self._send_json({"data": data, "object": "list"})
         elif self.path in ("/", "/health", "/healthz"):
             self._send_json({"status": "ok"})
+        elif self.path == "/metrics":
+            # Prometheus text exposition of the serving counters (neither
+            # the reference nor upstream ships this; SURVEY.md section 5
+            # lists observability as a gap worth exceeding)
+            self._send_text(self.registry.metrics_text(),
+                            "text/plain; version=0.0.4")
         else:
             self._send_json({"error": "not found"}, 404)
 

@@ -157,6 +157,8 @@ class InferenceEngine:
         self._wake = threading.Condition()
         self._running = True
         self._model_loaded = True
+        self.failed = False  # set after repeated device-level failures
+        self._consecutive_errors = 0
         self.n_requests = 0
         self.start_time = time.time()
         self._thread = threading.Thread(target=self._loop, daemon=True, name="engine-loop")
@@ -331,6 +333,37 @@ class InferenceEngine:
                             task_id=s.task_id, error=True, stop=True,
                             error_message=f"engine error: {e}"))
                         s.release()
+                # preemption tolerance (SURVEY.md section 5, TPU addition):
+                # repeated device-level failures (chip preempted / runtime
+                # lost) cannot recover in-process — mark the engine failed
+                # so the registry reloads the model from its GGUF
+                self._consecutive_errors += 1
+                if self._consecutive_errors >= 3:
+                    log.error("engine marked FAILED after %d consecutive "
+                              "errors; registry will reload on next use",
+                              self._consecutive_errors)
+                    self.failed = True
+                    self._fail_pending()
+                    return
+            else:
+                self._consecutive_errors = 0
+
+    def _fail_pending(self) -> None:
+        """Drain queued tasks with errors so clients unblock."""
+        while True:
+            try:
+                t = self._tasks.get_nowait()
+            except queue.Empty:
+                break
+            if t.type == TaskType.COMPLETION:
+                self._emit(t.id, TaskResult(
+                    task_id=t.id, error=True, stop=True,
+                    error_message="engine failed (device lost)"))
+        for t in self._deferred:
+            self._emit(t.id, TaskResult(
+                task_id=t.id, error=True, stop=True,
+                error_message="engine failed (device lost)"))
+        self._deferred = []
 
     def _process_tasks(self) -> None:
         if self._spec_q and (self._deferred or not self._tasks.empty()):

@@ -64,6 +64,7 @@ class EngineRegistry:
         self._lock = threading.Lock()
         self._force_stop: set[str] = set()  # reference fsi_mtx_/force-stop set
         self.n_chats = 0
+        self.start_time = time.time()
 
     # -- lifecycle -----------------------------------------------------------
     def load_model(self, body: dict) -> tuple[bool, str]:
@@ -208,6 +209,7 @@ class EngineRegistry:
             "n_parallel": n_parallel,
         }
         entry = ModelEntry(model_id, engine, lm, prompts, opts)
+        entry.load_body = dict(body)  # preemption-tolerant reload recipe
         with self._lock:
             self._models[model_id] = entry
         if model_type == "llm":
@@ -234,8 +236,60 @@ class EngineRegistry:
             return self._models.get(model_id)
 
     def check_loaded(self, model_id: str) -> ModelEntry | None:
-        """Reference: CheckModelLoaded (llama_engine.cc:1225-1245)."""
-        return self.get(model_id)
+        """Reference: CheckModelLoaded (llama_engine.cc:1225-1245), plus
+        preemption tolerance (SURVEY.md section 5 TPU addition): an engine
+        marked failed (device lost / repeated runtime errors) is torn down
+        and the model reloaded from its GGUF before serving."""
+        entry = self.get(model_id)
+        if entry is not None and getattr(entry.engine, "failed", False):
+            log.warning("engine for %s failed; reloading model", model_id)
+            body = getattr(entry, "load_body", None)
+            with self._lock:
+                self._models.pop(model_id, None)
+            try:
+                entry.engine.shutdown()
+            except Exception:
+                pass
+            if not body:
+                return None
+            ok, msg = self.load_model(body)
+            if not ok:
+                log.error("preemption reload of %s failed: %s", model_id, msg)
+                return None
+            return self.get(model_id)
+        return entry
+
+    def metrics_text(self) -> str:
+        """Prometheus text exposition of the serving counters (beyond the
+        reference, which only has no_of_requests_/no_of_chats_ internals —
+        llama_engine.h:90-91)."""
+        import time as _t
+
+        with self._lock:
+            total_requests = sum(
+                e.engine.n_requests for e in self._models.values())
+        lines = [
+            "# TYPE tpu_engine_requests_total counter",
+            f"tpu_engine_requests_total {total_requests}",
+            "# TYPE tpu_engine_chats_total counter",
+            f"tpu_engine_chats_total {self.n_chats}",
+            "# TYPE tpu_engine_uptime_seconds gauge",
+            f"tpu_engine_uptime_seconds {_t.time() - self.start_time:.1f}",
+            "# TYPE tpu_engine_models_loaded gauge",
+        ]
+        with self._lock:
+            entries = list(self._models.values())
+        lines.append(f"tpu_engine_models_loaded {len(entries)}")
+        lines.append("# TYPE tpu_engine_slots_busy gauge")
+        lines.append("# TYPE tpu_engine_engine_requests_total counter")
+        for e in entries:
+            busy = sum(1 for sl in e.engine.slots if sl.is_processing())
+            lines.append(
+                f'tpu_engine_slots_busy{{model="{e.model_id}"}} {busy}')
+            lines.append(
+                f'tpu_engine_engine_requests_total{{model="{e.model_id}"}} '
+                f"{e.engine.n_requests}")
+        return "\n".join(lines) + "\n"
 
     def model_status(self, model_id: str) -> dict | None:
         entry = self.get(model_id)
