@@ -188,6 +188,22 @@ def _put_slot_windows(arr: jax.Array, vals: jax.Array, slot_ids, starts,
     KH, T = arr.shape[2], arr.shape[3]
     is_scale = vals.ndim == 4  # scale planes [L, B, KH, Tc]
     sizes = (L, 1, KH, Tc) + (() if is_scale else (arr.shape[4],))
+    if Tc == 1:
+        # decode fast path: one unpadded token per row — no clamp roll and
+        # no pad masking, so skip the read-modify-write; inactive rows skip
+        # the write entirely via cond (the dynamic_slice read cost the same
+        # as the write: measured 0.32 ms/step on 7B shapes)
+        for b in range(B):
+            pos = (0, slot_ids[b], 0, jnp.minimum(starts[b], T - 1)) + (
+                () if is_scale else (0,))
+            val = vals[:, b][:, None].astype(arr.dtype)
+            arr = jax.lax.cond(
+                active[b] & (n_valid[b] > 0),
+                lambda a, v=val, p=pos: jax.lax.dynamic_update_slice(a, v, p),
+                lambda a: a,
+                arr,
+            )
+        return arr
     for b in range(B):
         s_c = jnp.clip(starts[b], 0, max(T - Tc, 0))
         d = starts[b] - s_c  # >= 0
