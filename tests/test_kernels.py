@@ -108,3 +108,58 @@ def test_fallback_on_odd_shapes():
     out = DM.pallas_qmatmul(jnp.asarray(x), qt)
     ref = x @ w.T
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-3)
+
+
+def make_qtensor_packed(ty: GGMLType, n: int, k: int) -> tuple[QTensor, np.ndarray]:
+    from tpu_engine.quant.device_format import (
+        permute_group_transpose_i8, permute_group_transpose_nib4,
+        to_device_format, to_device_format_packed,
+    )
+
+    x = RNG.normal(size=(n, k)).astype(np.float32)
+    raw = np.frombuffer(F.quantize(x, ty), np.uint8)
+    dq = to_device_format_packed(raw, ty, (n, k))
+    if dq.layout.kind == "nib4":
+        qs = permute_group_transpose_nib4(dq.qs, dq.layout.group)
+    else:
+        qs = permute_group_transpose_i8(dq.qs, dq.layout.group)
+    S = dq.d_dmin.shape[1]
+    qt = QTensor(
+        qs=jnp.asarray(qs),
+        scale=jnp.asarray(np.concatenate([dq.d_dmin[:, i] for i in range(S)], axis=1).astype(np.float32)),
+        bias=jnp.asarray(np.concatenate([dq.sub[:, i] for i in range(S)], axis=1).astype(np.int8)),
+        kind=dq.layout.kind, group=dq.layout.group, shape=(n, k),
+        perm=True, packed=True,
+    )
+    ref = np.asarray(to_device_format(raw, ty, (n, k)).dequantize())
+    return qt, ref
+
+
+@pytest.mark.parametrize("ty", [GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K,
+                                GGMLType.Q5_K, GGMLType.Q6_K])
+@pytest.mark.parametrize("m", [1, 8])
+def test_pallas_qmm_packed_matches_flat(ty, m):
+    """The packed two-level scale kernel path computes the same product as
+    the flat-scale path (both dequantize to identical bf16 weights)."""
+    from tpu_engine.kernels.dequant_matmul import pallas_qmatmul
+
+    n, k = 256, 512
+    qt, w = make_qtensor_packed(ty, n, k)
+    assert qt.packed
+    x = RNG.normal(size=(m, k)).astype(np.float32)
+
+    def bf16(a):
+        return np.asarray(jnp.asarray(a, jnp.bfloat16), np.float32)
+
+    ref = bf16(x) @ bf16(w).T
+    old = DM._INTERPRET
+    DM._INTERPRET = True
+    try:
+        out = pallas_qmatmul(jnp.asarray(x), qt)
+    finally:
+        DM._INTERPRET = old
+    got = np.asarray(out)
+    denom = np.maximum(np.abs(ref), 1.0)
+    assert np.max(np.abs(got - ref) / denom) < 5e-3
+    full = x @ w.T
+    assert np.max(np.abs(got - full) / np.maximum(np.abs(full), 1.0)) < 0.25

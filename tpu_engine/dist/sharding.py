@@ -86,6 +86,8 @@ def shard_qtensor(qt: QTensor, mesh: Mesh, role: str) -> QTensor:
         group=qt.group,
         shape=qt.shape,
         perm=qt.perm,
+        perm_shards=qt.perm_shards,
+        packed=qt.packed,
     )
 
 

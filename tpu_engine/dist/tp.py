@@ -113,7 +113,8 @@ class TPSharder:
 
         return QTensor(qs=put(qt.qs), scale=put(qt.scale), bias=put(qt.bias),
                        kind=qt.kind, group=qt.group, shape=qt.shape,
-                       perm=qt.perm, perm_shards=qt.perm_shards)
+                       perm=qt.perm, perm_shards=qt.perm_shards,
+                       packed=qt.packed)
 
 
 def validate_tp(cfg, weights: dict, p: int) -> None:

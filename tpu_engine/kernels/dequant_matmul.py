@@ -81,8 +81,51 @@ def _pick_tiles(n: int, plane_rows: int, ng: int):
     return best
 
 
-def _nib4_kernel(xl_ref, xh_ref, qs_ref, sc_ref, b_ref, out_ref, acc_ref, *,
-                 m: int, n_k: int, splits: int = 1):
+def _expand_scales(sc_ref, b_ref, packed_gpb: int, packed_s: int,
+                   sc_scratch=None, b_scratch=None, k_step=None):
+    """(sc0 [tn, ng] f32, b0 [tn, ng] f32 | None) from either the flat f32
+    arrays or the packed two-level representation (f32-widened d|dmin per
+    superblock + int sub-scales per group; scale = d*sc, bias = -dmin*m —
+    exact in f32, same bit-parity as the flat layout).
+
+    With scratch refs, the expansion runs ONCE per n-tile (k_step == 0) and
+    later k grid steps reuse the cached f32 scales — the steady-state
+    per-step work is then identical to the flat-scale path."""
+    if not packed_gpb:
+        return sc_ref[:], (b_ref[:] if b_ref is not None else None)
+
+    def expand():
+        dd = sc_ref[:].astype(jnp.float32)      # [tn, S*ns]
+        # Mosaic has no direct 8-bit -> f32 cast: go through i32
+        sub = b_ref[:].astype(jnp.int32).astype(jnp.float32)  # [tn, S*ng]
+        ns = dd.shape[1] // packed_s
+        ngrp = sub.shape[1] // packed_s
+        # groups are stored J-MAJOR (g' = j*ns + s, device_format.py), so
+        # expanding d per-superblock to per-group is a TILE-repeat:
+        # d_exp[g'] = d[g' % ns]. Exact — no rounding anywhere.
+        d = pltpu.repeat(dd[:, :ns], packed_gpb, axis=1)
+        sc0 = d * sub[:, :ngrp]
+        if packed_s == 2:
+            dm = pltpu.repeat(dd[:, ns:], packed_gpb, axis=1)
+            return sc0, -dm * sub[:, ngrp:]
+        return sc0, None
+
+    if sc_scratch is None:
+        return expand()
+
+    @pl.when(k_step == 0)
+    def _():
+        sc0, b0 = expand()
+        sc_scratch[:] = sc0
+        if b_scratch is not None:
+            b_scratch[:] = b0
+
+    return sc_scratch[:], (b_scratch[:] if b_scratch is not None else None)
+
+
+def _nib4_kernel(xl_ref, xh_ref, qs_ref, sc_ref, b_ref, out_ref, acc_ref,
+                 *scratch, m: int, n_k: int, splits: int = 1,
+                 packed_gpb: int = 0, packed_s: int = 1):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -92,8 +135,10 @@ def _nib4_kernel(xl_ref, xh_ref, qs_ref, sc_ref, b_ref, out_ref, acc_ref, *,
     dims = (((1,), (1,)), ((), ()))
     ms = m // splits
     sub = qs_ref.shape[1] // splits  # = ms*ng columns per sub-tile
-    sc0 = sc_ref[:]
-    b0 = b_ref[:] if b_ref is not None else None
+    sc0, b0 = _expand_scales(
+        sc_ref, b_ref, packed_gpb, packed_s,
+        sc_scratch=scratch[0] if scratch else None,
+        b_scratch=scratch[1] if len(scratch) > 1 else None, k_step=k)
     # sub-tiling keeps the dequant intermediates (i32 + f32 + bf16 per
     # packed byte) within the Mosaic VMEM stack for large tiles; every
     # sub-tile spans whole group cycles so the scale tile is shared
@@ -121,8 +166,9 @@ def _nib4_kernel(xl_ref, xh_ref, qs_ref, sc_ref, b_ref, out_ref, acc_ref, *,
         out_ref[:] = acc_ref[:]
 
 
-def _i8_kernel(x_ref, qs_ref, sc_ref, b_ref, out_ref, acc_ref, *, m: int,
-               n_k: int, splits: int = 1):
+def _i8_kernel(x_ref, qs_ref, sc_ref, b_ref, out_ref, acc_ref, *scratch,
+               m: int, n_k: int, splits: int = 1, packed_gpb: int = 0,
+               packed_s: int = 1):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -131,8 +177,10 @@ def _i8_kernel(x_ref, qs_ref, sc_ref, b_ref, out_ref, acc_ref, *, m: int,
 
     ms = m // splits
     sub = qs_ref.shape[1] // splits
-    sc0 = sc_ref[:]
-    b0 = b_ref[:] if b_ref is not None else None
+    sc0, b0 = _expand_scales(
+        sc_ref, b_ref, packed_gpb, packed_s,
+        sc_scratch=scratch[0] if scratch else None,
+        b_scratch=scratch[1] if len(scratch) > 1 else None, k_step=k)
     for h in range(splits):
         sc = pltpu.repeat(sc0, ms, axis=1) if ms > 1 else sc0
         w = qs_ref[:, h * sub:(h + 1) * sub].astype(jnp.int32).astype(jnp.float32) * sc
@@ -151,10 +199,12 @@ def _i8_kernel(x_ref, qs_ref, sc_ref, b_ref, out_ref, acc_ref, *, m: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kind", "group", "n", "k", "shards", "interpret")
+    jax.jit, static_argnames=("kind", "group", "n", "k", "shards",
+                              "packed_gpb", "packed_s", "interpret")
 )
 def _qmm_2d(x, qs, scale, bias, *, kind: str, group: int, n: int, k: int,
-            shards: int = 1, interpret: bool = False):
+            shards: int = 1, packed_gpb: int = 0, packed_s: int = 1,
+            interpret: bool = False):
     """x [M, K] (natural order) -> [M, N] f32, or None if untileable.
 
     shards: perm_shards of the weight layout — the group-transpose was
@@ -164,8 +214,17 @@ def _qmm_2d(x, qs, scale, bias, *, kind: str, group: int, n: int, k: int,
     mrows = x.shape[0]
     ng = (k // shards) // group  # groups per chunk (== K/G when shards=1)
     x16 = x.astype(jnp.bfloat16)
-    # per-chunk group transpose of the activation to match the weight layout
-    xg = x16.reshape(mrows, shards, ng, group).swapaxes(2, 3)  # [M, C, G, ng]
+    if packed_gpb:
+        # packed tensors store groups J-MAJOR (g' = j*ns + s,
+        # device_format.py); give the activation the matching relayout:
+        # column r*ng + g' <- natural column (s*gpb + j)*G + r
+        n_sb = k // (packed_gpb * group)  # superblocks per row
+        xg = x16.reshape(mrows, n_sb, packed_gpb, group).transpose(
+            0, 3, 2, 1).reshape(mrows, 1, group, ng)
+    else:
+        # per-chunk group transpose of the activation to match the weight
+        # layout
+        xg = x16.reshape(mrows, shards, ng, group).swapaxes(2, 3)  # [M,C,G,ng]
 
     plane = group // 2 if kind == "nib4" else group
     tiles = _pick_tiles(n, plane, ng)
@@ -181,6 +240,12 @@ def _qmm_2d(x, qs, scale, bias, *, kind: str, group: int, n: int, k: int,
             (tn, ng), lambda i, kk: (i, kk // kc_tiles), memory_space=pltpu.VMEM
         )
 
+    def packed_spec(arr):
+        # packed scales/subs are tiny: the n-tile's full row slab, constant
+        # over the k grid (shards == 1 for packed tensors)
+        return pl.BlockSpec((tn, arr.shape[1]), lambda i, kk: (i, 0),
+                            memory_space=pltpu.VMEM)
+
     if kind == "nib4":
         plane_rows = group // 2
         tkb = _tk
@@ -193,19 +258,21 @@ def _qmm_2d(x, qs, scale, bias, *, kind: str, group: int, n: int, k: int,
             pl.BlockSpec((mrows, tkb), lambda i, kk: (0, kk), memory_space=pltpu.VMEM),
             pl.BlockSpec((mrows, tkb), lambda i, kk: (0, kk), memory_space=pltpu.VMEM),
             pl.BlockSpec((tn, tkb), lambda i, kk: (i, kk), memory_space=pltpu.VMEM),
-            sc_spec(tkb),
+            packed_spec(scale) if packed_gpb else sc_spec(tkb),
         ]
         args = [xl, xh, qs, scale]
         if bias is not None:
-            in_specs.append(sc_spec(tkb))
+            in_specs.append(packed_spec(bias) if packed_gpb else sc_spec(tkb))
             args.append(bias)
             kernel = functools.partial(_nib4_kernel, m=m, n_k=n_k,
-                                       splits=_splits)
+                                       splits=_splits, packed_gpb=packed_gpb,
+                                       packed_s=packed_s)
         else:
             kernel = functools.partial(
-                lambda xl, xh, qs, sc, out, acc, **kw:
-                _nib4_kernel(xl, xh, qs, sc, None, out, acc, **kw),
-                m=m, n_k=n_k, splits=_splits)
+                lambda xl, xh, qs, sc, out, acc, *scr, **kw:
+                _nib4_kernel(xl, xh, qs, sc, None, out, acc, *scr, **kw),
+                m=m, n_k=n_k, splits=_splits, packed_gpb=packed_gpb,
+                packed_s=packed_s)
     else:  # i8
         tk = _tk
         m = tk // ng
@@ -215,19 +282,21 @@ def _qmm_2d(x, qs, scale, bias, *, kind: str, group: int, n: int, k: int,
         in_specs = [
             pl.BlockSpec((mrows, tk), lambda i, kk: (0, kk), memory_space=pltpu.VMEM),
             pl.BlockSpec((tn, tk), lambda i, kk: (i, kk), memory_space=pltpu.VMEM),
-            sc_spec(tk),
+            packed_spec(scale) if packed_gpb else sc_spec(tk),
         ]
         args = [xp, qs, scale]
         if bias is not None:
-            in_specs.append(sc_spec(tk))
+            in_specs.append(packed_spec(bias) if packed_gpb else sc_spec(tk))
             args.append(bias)
             kernel = functools.partial(_i8_kernel, m=m, n_k=n_k,
-                                       splits=_splits)
+                                       splits=_splits, packed_gpb=packed_gpb,
+                                       packed_s=packed_s)
         else:
             kernel = functools.partial(
-                lambda x, qs, sc, out, acc, **kw:
-                _i8_kernel(x, qs, sc, None, out, acc, **kw),
-                m=m, n_k=n_k, splits=_splits)
+                lambda x, qs, sc, out, acc, *scr, **kw:
+                _i8_kernel(x, qs, sc, None, out, acc, *scr, **kw),
+                m=m, n_k=n_k, splits=_splits, packed_gpb=packed_gpb,
+                packed_s=packed_s)
 
     return pl.pallas_call(
         kernel,
@@ -236,7 +305,9 @@ def _qmm_2d(x, qs, scale, bias, *, kind: str, group: int, n: int, k: int,
         out_specs=pl.BlockSpec((mrows, tn), lambda i, kk: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mrows, n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((mrows, tn), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((mrows, tn), jnp.float32)]
+        + ([pltpu.VMEM((tn, ng), jnp.float32)] * (1 + (packed_s == 2))
+           if packed_gpb else []),
         interpret=interpret,
         # n-tiles are independent; the k axis carries the accumulator.
         # allow_input_fusion on the activation operands folds the
@@ -275,9 +346,14 @@ def pallas_qmatmul(x: jax.Array, qt: W.QTensor) -> jax.Array:
         x2 = jnp.concatenate([x2, jnp.zeros((pad, k), x2.dtype)], axis=0)
     out = None
     if qt.perm:
+        packed_gpb = packed_s = 0
+        if qt.packed:
+            packed_gpb = 256 // qt.group  # groups per k-quant superblock
+            packed_s = qt.scale.shape[1] // (k // 256)
         out = _qmm_2d(
             x2, qt.qs, qt.scale, qt.bias,
             kind=qt.kind, group=qt.group, n=n, k=k, shards=shards,
+            packed_gpb=packed_gpb, packed_s=max(packed_s, 1),
             interpret=_INTERPRET,
         )
     if out is None:

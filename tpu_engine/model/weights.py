@@ -9,6 +9,7 @@ elsewhere) — never materialized at full precision (SURVEY.md section 2b
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -44,10 +45,18 @@ class QTensor:
     # along K into p parts for tensor parallelism with every shard a
     # self-consistent kernel layout (dist/tp.py).
     perm_shards: int = 1
+    # packed two-level k-quant scales (quant/device_format.py
+    # DeviceQuantPacked): scale holds f32 [N, S*n_super] (d | dmin) and
+    # bias holds int8/uint8 [N, S*n_group] (sc | m); the kernel/dequant
+    # reconstructs flat f32 scale = d*sc, bias = -dmin*m (exact). Cuts
+    # Q4_K HBM bytes from 0.75 to 0.578 per element. Single-shard only
+    # (superblocks need not divide K/p).
+    packed: bool = False
 
     def tree_flatten(self):
         return (self.qs, self.scale, self.bias), (self.kind, self.group, self.shape,
-                                                  self.perm, self.perm_shards)
+                                                  self.perm, self.perm_shards,
+                                                  self.packed)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -55,8 +64,10 @@ class QTensor:
         kind, group, shape = aux[:3]
         perm = aux[3] if len(aux) > 3 else False
         perm_shards = aux[4] if len(aux) > 4 else 1
+        packed = aux[5] if len(aux) > 5 else False
         return cls(qs=qs, scale=scale, bias=bias, kind=kind, group=group,
-                   shape=shape, perm=perm, perm_shards=perm_shards)
+                   shape=shape, perm=perm, perm_shards=perm_shards,
+                   packed=packed)
 
     @property
     def bits_per_weight(self) -> float:
@@ -81,12 +92,49 @@ def qtensor_from_gguf(g: GGUFFile, name: str, dtype=jnp.float32,
     k = shape[-1]
     n = ti.n_elems // k
     if ti.ggml_type in LAYOUTS:
+        from ..quant.device_format import PACKED_TYPES, to_device_format_packed
+
         lay = LAYOUTS[ti.ggml_type]
         if perm_shards > 1 and (
             k % perm_shards or (k // perm_shards) % lay.group
             or (lay.kind == "nib4" and (k // perm_shards) % 2)
         ):
             perm_shards = 1  # chunking impossible; caller replicates
+        # two-level packed scales for k-quants (23% less HBM traffic on
+        # Q4_K); single-shard only — superblocks need not divide K/p.
+        # Default OFF: the fused kernel is currently VPU-bound (profiled
+        # 262-445 GB/s of 819 on 7B shapes), so the saved scale bytes
+        # don't pay for the in-kernel expansion yet (bench: 466 vs 493
+        # tok/s). Re-flip once the dequant VPU passes shrink.
+        packed = (
+            perm_shards == 1
+            and ti.ggml_type in PACKED_TYPES
+            and k % 256 == 0
+            and os.environ.get("TPU_ENGINE_PACKED_SCALES", "0") == "1"
+        )
+        if packed:
+            dq = to_device_format_packed(
+                g.tensor_bytes(name), ti.ggml_type, (n, k))
+            if lay.kind == "nib4":
+                qs = permute_group_transpose_nib4(dq.qs, lay.group)
+            else:
+                qs = permute_group_transpose_i8(dq.qs, lay.group)
+            S = dq.d_dmin.shape[1]
+            return QTensor(
+                qs=jnp.asarray(qs),
+                # f32 storage (exact widening of the file's f16; Mosaic
+                # has no f16 dtype). Superblock scales are k/256 wide, so
+                # the extra 2 B/superblock is ~0.016 B/elem of HBM.
+                scale=jnp.asarray(
+                    np.concatenate([dq.d_dmin[:, i] for i in range(S)],
+                                   axis=1).astype(np.float32)),
+                # int8 storage (6-bit values fit; Mosaic-friendly casts)
+                bias=jnp.asarray(
+                    np.concatenate([dq.sub[:, i] for i in range(S)],
+                                   axis=1).astype(np.int8)),
+                kind=lay.kind, group=lay.group, shape=(n, k),
+                perm=True, packed=True,
+            )
         native = None
         from ..native import lib as native_lib
 
@@ -151,6 +199,47 @@ def _unpack_natural(qs: jax.Array, kind: str, group: int, k: int,
     return q.astype(jnp.float32)
 
 
+def _expand_packed_scales(qt: QTensor, idx=None):
+    """Reconstruct flat f32 (scale [., ng], bias [., ng] | None) from the
+    packed two-level representation (exact: f16 x small-int products).
+    Output follows the STORED j-major group order (g' = j*ns + s,
+    quant/device_format.py), matching the stored qs columns: the expansion
+    d_exp[g'] = d[g' % ns] is a tile-repeat."""
+    from ..gguf.constants import QK_K
+
+    gpb = QK_K // qt.group
+    sc_arr = qt.scale if idx is None else qt.scale[idx]
+    sub_arr = qt.bias if idx is None else qt.bias[idx]
+    n_super = qt.shape[1] // QK_K
+    S = sc_arr.shape[-1] // n_super  # 2 rows (d|dmin) for biased formats
+    n_group = sub_arr.shape[-1] // S
+
+    def tile(a):
+        return jnp.concatenate([a.astype(jnp.float32)] * gpb, axis=-1)
+
+    scale = tile(sc_arr[..., :n_super]) * sub_arr[..., :n_group].astype(
+        jnp.float32)
+    if S == 2:
+        bias = -tile(sc_arr[..., n_super:]) * sub_arr[..., n_group:].astype(
+            jnp.float32)
+        return scale, bias
+    return scale, None
+
+
+def _unpermute_packed_groups(w: jax.Array, qt: QTensor) -> jax.Array:
+    """Columns of a dequantized packed tensor follow the stored j-major
+    group order; restore natural column order (quant/device_format.py:
+    stored position (j*ns + s)*G + r <- natural (s*gpb + j)*G + r)."""
+    from ..gguf.constants import QK_K
+
+    gpb = QK_K // qt.group
+    k = qt.shape[1]
+    ns = k // QK_K
+    lead = w.shape[:-1]
+    w = w.reshape(*lead, gpb, ns, qt.group)
+    return jnp.swapaxes(w, -3, -2).reshape(*lead, k)
+
+
 def _local_k_shards(qt: QTensor) -> tuple[int, int]:
     """(k, shards) from the ARRAYS, not qt.shape metadata: a shard_map-local
     K-slice of a perm_shards=p tensor (dist/tp.py) holds k/k_global of the
@@ -166,9 +255,15 @@ def dequant(qt: QTensor, dtype=jnp.float32) -> jax.Array:
         return qt.qs.astype(dtype)
     k, shards = _local_k_shards(qt)
     q = _unpack_natural(qt.qs, qt.kind, qt.group, k, qt.perm, shards)
-    w = q * jnp.repeat(qt.scale, qt.group, axis=-1)
-    if qt.bias is not None:
-        w = w + jnp.repeat(qt.bias, qt.group, axis=-1)
+    if qt.packed:
+        scale, bias = _expand_packed_scales(qt)
+    else:
+        scale, bias = qt.scale, qt.bias
+    w = q * jnp.repeat(scale, qt.group, axis=-1)
+    if bias is not None:
+        w = w + jnp.repeat(bias, qt.group, axis=-1)
+    if qt.packed:
+        w = _unpermute_packed_groups(w, qt)
     return w.astype(dtype)
 
 
@@ -178,9 +273,16 @@ def _rows(qt: QTensor, ids: jax.Array, dtype=jnp.float32) -> jax.Array:
         return qt.qs[ids].astype(dtype)
     k, shards = _local_k_shards(qt)
     q = _unpack_natural(qt.qs[ids], qt.kind, qt.group, k, qt.perm, shards)
-    w = q * jnp.repeat(qt.scale[ids], qt.group, axis=-1)
-    if qt.bias is not None:
-        w = w + jnp.repeat(qt.bias[ids], qt.group, axis=-1)
+    if qt.packed:
+        scale, bias = _expand_packed_scales(qt, idx=ids)
+    else:
+        scale, bias = qt.scale[ids], (
+            qt.bias[ids] if qt.bias is not None else None)
+    w = q * jnp.repeat(scale, qt.group, axis=-1)
+    if bias is not None:
+        w = w + jnp.repeat(bias, qt.group, axis=-1)
+    if qt.packed:
+        w = _unpermute_packed_groups(w, qt)
     return w.astype(dtype)
 
 
@@ -198,7 +300,7 @@ def permute_rows(qt: QTensor, perm: np.ndarray) -> QTensor:
         scale=qt.scale[idx] if qt.scale is not None else None,
         bias=qt.bias[idx] if qt.bias is not None else None,
         kind=qt.kind, group=qt.group, shape=qt.shape, perm=qt.perm,
-        perm_shards=qt.perm_shards,
+        perm_shards=qt.perm_shards, packed=qt.packed,
     )
 
 
@@ -220,7 +322,7 @@ def slice_rows(qt: QTensor, start: int, stop: int) -> QTensor:
         scale=qt.scale[start:stop] if qt.scale is not None else None,
         bias=qt.bias[start:stop] if qt.bias is not None else None,
         kind=qt.kind, group=qt.group, shape=(stop - start, qt.shape[1]),
-        perm=qt.perm, perm_shards=qt.perm_shards,
+        perm=qt.perm, perm_shards=qt.perm_shards, packed=qt.packed,
     )
 
 
@@ -233,6 +335,7 @@ def concat_qtensors(qts: list[QTensor]) -> QTensor | None:
     if any(
         t.kind != k0.kind or t.group != k0.group or t.shape[1] != k0.shape[1]
         or t.perm != k0.perm or t.perm_shards != k0.perm_shards
+        or t.packed != k0.packed
         or (t.bias is None) != (k0.bias is None)
         for t in qts
     ):
@@ -245,7 +348,7 @@ def concat_qtensors(qts: list[QTensor]) -> QTensor | None:
         bias=jnp.concatenate([t.bias for t in qts], axis=0)
         if k0.bias is not None else None,
         kind=k0.kind, group=k0.group, shape=(n_total, k0.shape[1]), perm=k0.perm,
-        perm_shards=k0.perm_shards,
+        perm_shards=k0.perm_shards, packed=k0.packed,
     )
 
 

@@ -285,6 +285,173 @@ def unpermute_group_transpose_nib4(packed: np.ndarray, group: int,
     return np.ascontiguousarray(q[:, 0::2] | (q[:, 1::2] << 4))
 
 
+@dataclass
+class DeviceQuantPacked:
+    """Two-level k-quant scale storage (the HBM-lean layout).
+
+    The flat layout (DeviceQuant) stores one f32 scale (+ f32 bias) per
+    G-group: 0.25 B/elem on top of the nibbles — 33% more HBM traffic per
+    Q4_K weight than the ggml file itself. This layout keeps ggml's
+    structure: f16 d (+dmin) per 256-superblock and the small integer
+    sub-scales per group, and the kernel reconstructs
+    scale = d * sc, bias = -dmin * m in f32 (EXACT — f16 x 6-bit products
+    are representable; same bit-exactness as the flat layout, verified in
+    tests/test_device_format.py). 0.578 B/elem total for Q4_K.
+
+    GROUP ORDER: this layout stores groups J-MAJOR ("interleaved
+    superblock" order): stored group index g' = j*ns + s, where s is the
+    superblock and j the position within it (natural g = s*gpb + j). Both
+    qs columns and sub follow g'; d_dmin stays s-ordered. This makes the
+    in-kernel superblock->group expansion of d a TILE-repeat
+    (pltpu.repeat, the one broadcast Mosaic does natively):
+    d_exp[g'] = d[g' % ns]. Element-repeat (needed by natural order) has
+    no cheap Mosaic lowering, and an exact 0/1-matrix dot costs ~10% of
+    the whole matmul (measured on v5e, 7B shapes).
+
+    d_dmin: f16 [N, S, n_super]  (S=2 rows d,dmin for biased formats; S=1)
+    sub:    int8/uint8 [N, S, n_group]  (rows sc, m; j-major group order)
+    """
+
+    ggml_type: GGMLType
+    layout: QuantLayout
+    shape: tuple[int, int]
+    qs: np.ndarray
+    d_dmin: np.ndarray
+    sub: np.ndarray
+
+    def scale_bias(self) -> tuple[np.ndarray, np.ndarray | None]:
+        """Reconstruct the flat f32 per-group scale/bias (exact), in the
+        STORED (j-major) group order — pair with the j-major qs."""
+        n, k = self.shape
+        ns = k // QK_K
+        gpb = QK_K // self.layout.group
+        d = np.tile(self.d_dmin[:, 0].astype(np.float32), (1, gpb))
+        scale = d * self.sub[:, 0].astype(np.float32)
+        if self.layout.has_bias:
+            dmin = np.tile(self.d_dmin[:, 1].astype(np.float32), (1, gpb))
+            return scale, -dmin * self.sub[:, 1].astype(np.float32)
+        return scale, None
+
+    def group_perm(self) -> np.ndarray:
+        """perm[g'] = natural group index at stored position g'."""
+        ns = self.shape[1] // QK_K
+        gpb = QK_K // self.layout.group
+        return np.arange(ns * gpb).reshape(ns, gpb).T.reshape(-1)
+
+
+# k-quant formats with two-level scales the packed layout supports
+PACKED_TYPES = (GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K, GGMLType.Q5_K,
+                GGMLType.Q6_K)
+
+
+def _extract_packed(raw: np.ndarray, ty: GGMLType, n: int, k: int):
+    """(q natural [n*k], d_dmin f16 [n, S, ns], sub i8/u8 [n, S, ng])."""
+    b = np.asarray(raw, np.uint8).reshape(-1, GGML_BLOCK_INFO[ty][1])
+    nb = b.shape[0]
+
+    if ty in (GGMLType.Q4_K, GGMLType.Q5_K):
+        d = b[:, 0:2].view(np.float16).reshape(-1)
+        dmin = b[:, 2:4].view(np.float16).reshape(-1)
+        sc, m = F.unpack_scale_min_k4(b[:, 4:16])  # [nb, 8] 6-bit ints
+        if ty == GGMLType.Q4_K:
+            qs = b[:, 16:144]
+            q = np.empty((nb, QK_K), np.uint8)
+            for c in range(4):
+                blk = qs[:, 32 * c : 32 * c + 32]
+                q[:, 64 * c : 64 * c + 32] = blk & 0x0F
+                q[:, 64 * c + 32 : 64 * c + 64] = blk >> 4
+        else:
+            qh = b[:, 16:48]
+            qs = b[:, 48:176]
+            q = np.empty((nb, QK_K), np.uint8)
+            for c in range(4):
+                ql = qs[:, 32 * c : 32 * c + 32]
+                u1 = np.uint8(1 << (2 * c))
+                u2 = np.uint8(2 << (2 * c))
+                q[:, 64 * c : 64 * c + 32] = (ql & 0x0F) + np.where((qh & u1) != 0, 16, 0).astype(np.uint8)
+                q[:, 64 * c + 32 : 64 * c + 64] = (ql >> 4) + np.where((qh & u2) != 0, 16, 0).astype(np.uint8)
+            q = q.view(np.int8)
+        d_dmin = np.stack([d, dmin], axis=1)  # [nb, 2]
+        sub = np.stack([sc.astype(np.uint8), m.astype(np.uint8)], axis=1)
+        return q.reshape(-1), d_dmin, sub
+
+    if ty == GGMLType.Q6_K:
+        ql = b[:, 0:128]
+        qh = b[:, 128:192]
+        sc = b[:, 192:208].view(np.int8)  # [nb, 16] signed 8-bit
+        d = b[:, 208:210].view(np.float16).reshape(-1)
+        q = np.empty((nb, QK_K), np.int16)
+        for n_ in range(2):
+            qln = ql[:, 64 * n_ : 64 * n_ + 64].astype(np.int16)
+            qhn = qh[:, 32 * n_ : 32 * n_ + 32].astype(np.int16)
+            base = 128 * n_
+            q[:, base : base + 32] = ((qln[:, :32] & 0x0F) | (((qhn >> 0) & 3) << 4)) - 32
+            q[:, base + 32 : base + 64] = ((qln[:, 32:] & 0x0F) | (((qhn >> 2) & 3) << 4)) - 32
+            q[:, base + 64 : base + 96] = ((qln[:, :32] >> 4) | (((qhn >> 4) & 3) << 4)) - 32
+            q[:, base + 96 : base + 128] = ((qln[:, 32:] >> 4) | (((qhn >> 6) & 3) << 4)) - 32
+        return (q.astype(np.int8).reshape(-1), d[:, None],
+                sc[:, None, :].astype(np.int8))
+
+    if ty == GGMLType.Q2_K:
+        scales = b[:, 0:16]
+        qs = b[:, 16:80]
+        d = b[:, 80:82].view(np.float16).reshape(-1)
+        dmin = b[:, 82:84].view(np.float16).reshape(-1)
+        q = np.empty((nb, QK_K), np.uint8)
+        for n_ in range(2):
+            qh = qs[:, 32 * n_ : 32 * n_ + 32]
+            for j in range(4):
+                q[:, 128 * n_ + 32 * j : 128 * n_ + 32 * j + 32] = (qh >> (2 * j)) & 3
+        d_dmin = np.stack([d, dmin], axis=1)
+        sub = np.stack([(scales & 0x0F), (scales >> 4)], axis=1)  # [nb,2,16]
+        return q.reshape(-1), d_dmin, sub
+
+    if ty == GGMLType.Q3_K:
+        sc6 = F._unpack_q3k_scales(b[:, 96:108]).astype(np.int8)  # [nb,16] -32..31
+        d = b[:, 108:110].view(np.float16).reshape(-1)
+        hmask = b[:, 0:32]
+        qs = b[:, 32:96]
+        q = np.empty((nb, QK_K), np.int8)
+        m_ = 1
+        for n_ in range(2):
+            qh = qs[:, 32 * n_ : 32 * n_ + 32]
+            for j in range(4):
+                vals = ((qh >> (2 * j)) & 3).astype(np.int8)
+                vals = vals - np.where((hmask & m_) != 0, 0, 4).astype(np.int8)
+                q[:, 128 * n_ + 32 * j : 128 * n_ + 32 * j + 32] = vals
+                m_ <<= 1
+        return q.reshape(-1), d[:, None], sc6[:, None, :]
+
+    raise NotImplementedError(ty.name)
+
+
+def to_device_format_packed(raw: np.ndarray, ty: GGMLType,
+                            shape: tuple[int, ...]) -> DeviceQuantPacked:
+    """Two-level scale conversion; last axis is the quantized axis."""
+    layout = LAYOUTS[ty]
+    k = shape[-1]
+    n = 1
+    for dim in shape[:-1]:
+        n *= dim
+    q, d_dmin, sub = _extract_packed(np.asarray(raw, np.uint8), ty, n, k)
+    nbpr = k // QK_K  # superblocks per row
+    gpb = QK_K // layout.group
+    S = d_dmin.shape[1] if d_dmin.ndim == 2 else 1
+    d_dmin = d_dmin.reshape(n, nbpr, -1).transpose(0, 2, 1)  # [n, S, ns]
+    # j-major group order (see DeviceQuantPacked): g' = j*ns + s
+    sub = sub.reshape(n, nbpr, -1, gpb).transpose(0, 2, 3, 1).reshape(
+        n, -1, nbpr * gpb)  # [n, S, ng] with ng ordered (j, s)
+    q = q.reshape(n, nbpr, gpb, layout.group).transpose(0, 2, 1, 3).reshape(
+        n, k)  # natural columns reordered to (j, s, r)
+    if layout.kind == "nib4":
+        qs = _pack_nib4(q.astype(np.uint8))
+    else:
+        qs = q.astype(np.int8)
+    return DeviceQuantPacked(ggml_type=ty, layout=layout, shape=(n, k),
+                             qs=qs, d_dmin=np.ascontiguousarray(d_dmin),
+                             sub=np.ascontiguousarray(sub))
+
+
 def to_device_format(raw: np.ndarray, ty: GGMLType, shape: tuple[int, ...]) -> DeviceQuant:
     """Convert raw GGUF block bytes to the unified device layout.
 
