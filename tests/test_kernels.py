@@ -14,7 +14,7 @@ from tpu_engine.quant.device_format import LAYOUTS, to_device_format
 RNG = np.random.default_rng(11)
 
 
-def make_qtensor(ty: GGMLType, n: int, k: int) -> tuple[QTensor, np.ndarray]:
+def make_qtensor(ty: GGMLType, n: int, k: int):
     from tpu_engine.quant.device_format import (
         permute_group_transpose_i8, permute_group_transpose_nib4,
     )
@@ -35,7 +35,34 @@ def make_qtensor(ty: GGMLType, n: int, k: int) -> tuple[QTensor, np.ndarray]:
         shape=(n, k),
         perm=True,
     )
-    return qt, np.asarray(dq.dequantize())
+    return qt, np.asarray(dq.dequantize()), dq
+
+
+def bf16(a):
+    return np.asarray(jnp.asarray(a, jnp.bfloat16), np.float32)
+
+
+def kernel_reference(x: np.ndarray, dq) -> np.ndarray:
+    """Numerics-matched reference for the fused kernel: scaled values are
+    bf16(q * scale) (f32 multiply) fed to a f32-accumulating dot, and the
+    per-group bias folds in as an xsum dot (see _bias_dot; in-kernel it
+    is a manual bf16x3 split, ~2^-16 relative). Tight: catches structural
+    bugs (wrong scale order/permutation) the loose checks cannot."""
+    n, k = dq.shape
+    G = dq.layout.group
+    if dq.layout.kind == "nib4":
+        q = np.empty((n, k), np.float32)
+        q[:, 0::2] = (dq.qs & 0x0F).astype(np.float32)
+        q[:, 1::2] = (dq.qs >> 4).astype(np.float32)
+    else:
+        q = dq.qs.astype(np.float32)
+    sc = np.repeat(dq.scale, G, axis=1)
+    wq = bf16(q * sc)
+    y = bf16(x) @ wq.T
+    if dq.bias is not None:
+        xs = bf16(x).reshape(x.shape[0], k // G, G).sum(axis=2)
+        y = y + xs @ dq.bias.T
+    return y
 
 
 @pytest.mark.parametrize("ty", [GGMLType.Q4_K, GGMLType.Q8_0, GGMLType.Q6_K,
@@ -44,25 +71,34 @@ def make_qtensor(ty: GGMLType, n: int, k: int) -> tuple[QTensor, np.ndarray]:
 @pytest.mark.parametrize("m", [1, 8])
 def test_pallas_qmm_matches_reference(ty, m):
     n, k = 256, 512
-    qt, w = make_qtensor(ty, n, k)
+    qt, w, dq = make_qtensor(ty, n, k)
     x = RNG.normal(size=(m, k)).astype(np.float32)
 
-    def bf16(a):
-        return np.asarray(jnp.asarray(a, jnp.bfloat16), np.float32)
-
-    # the kernel computes with bf16 operands + f32 accumulation
-    ref = bf16(x) @ bf16(w).T
-
-    out = DM._qmm_2d(jnp.asarray(x), qt.qs, qt.scale, qt.bias,
-                     kind=qt.kind, group=qt.group, n=n, k=k, interpret=True)
-    assert out is not None, "kernel refused supported shape"
+    # the real entry point pads rows to a multiple of 8 — calling _qmm_2d
+    # with m=1 directly hits an interpret-only XLA fusion that skips the
+    # intermediate bf16 rounding (real Mosaic matches the reference at
+    # every m; verified on TPU)
+    old = DM._INTERPRET
+    DM._INTERPRET = True
+    try:
+        out = DM.pallas_qmatmul(jnp.asarray(x), qt)
+    finally:
+        DM._INTERPRET = old
     got = np.asarray(out)
+    # tight structural check vs the numerics-matched reference
+    ref = kernel_reference(x, dq)
     denom = np.maximum(np.abs(ref), 1.0)
-    assert np.max(np.abs(got - ref) / denom) < 5e-3
-    # and stays in the ballpark of the exact f32 product (catches wrong
-    # scale/permutation bugs, which produce O(1) relative errors)
+    # 1e-3: the in-kernel bias dot is a manual bf16x3 split (error ~2^-16
+    # of the bias magnitude); structural bugs produce >=0.1
+    assert np.max(np.abs(got - ref) / denom) < 1e-3
+    # quantization-level sanity vs the f32-dequant product. Loose by
+    # design (structural bugs produce >=O(1) errors, caught above):
+    # the kernel rounds q*sc to bf16 BEFORE the separately-exact
+    # bias dot, so for offset formats the rounding no longer cancels
+    # against b the way bf16(q*sc+b) does — worst-case ~2x bf16 noise,
+    # still ~6x under the Q4 quantization error itself.
     full = x @ w.T
-    assert np.max(np.abs(got - full) / np.maximum(np.abs(full), 1.0)) < 0.25
+    assert np.max(np.abs(got - full) / np.maximum(np.abs(full), 1.0)) < 0.75
 
 
 def test_pallas_hook_in_forward(tmp_path):
@@ -103,14 +139,16 @@ def test_fallback_on_odd_shapes():
     """Shapes that don't tile must silently fall back, not crash."""
     ty = GGMLType.Q8_0
     n, k = 96, 160  # not tileable to 128
-    qt, w = make_qtensor(ty, n, k)
+    qt, w, _ = make_qtensor(ty, n, k)
     x = RNG.normal(size=(2, k)).astype(np.float32)
     out = DM.pallas_qmatmul(jnp.asarray(x), qt)
     ref = x @ w.T
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-3)
 
 
-def make_qtensor_packed(ty: GGMLType, n: int, k: int) -> tuple[QTensor, np.ndarray]:
+def make_qtensor_packed(ty: GGMLType, n: int, k: int):
+    """(packed QTensor, flat-dequant w, flat QTensor from the same
+    raw bytes — the numerics-matched comparison target)."""
     from tpu_engine.quant.device_format import (
         permute_group_transpose_i8, permute_group_transpose_nib4,
         to_device_format, to_device_format_packed,
@@ -118,6 +156,18 @@ def make_qtensor_packed(ty: GGMLType, n: int, k: int) -> tuple[QTensor, np.ndarr
 
     x = RNG.normal(size=(n, k)).astype(np.float32)
     raw = np.frombuffer(F.quantize(x, ty), np.uint8)
+    flat = to_device_format(raw, ty, (n, k))
+    if flat.layout.kind == "nib4":
+        fqs = permute_group_transpose_nib4(flat.qs, flat.layout.group)
+    else:
+        fqs = permute_group_transpose_i8(flat.qs, flat.layout.group)
+    qt_flat = QTensor(
+        qs=jnp.asarray(fqs),
+        scale=jnp.asarray(flat.scale),
+        bias=jnp.asarray(flat.bias) if flat.bias is not None else None,
+        kind=flat.layout.kind, group=flat.layout.group, shape=(n, k),
+        perm=True,
+    )
     dq = to_device_format_packed(raw, ty, (n, k))
     if dq.layout.kind == "nib4":
         qs = permute_group_transpose_nib4(dq.qs, dq.layout.group)
@@ -131,8 +181,7 @@ def make_qtensor_packed(ty: GGMLType, n: int, k: int) -> tuple[QTensor, np.ndarr
         kind=dq.layout.kind, group=dq.layout.group, shape=(n, k),
         perm=True, packed=True,
     )
-    ref = np.asarray(to_device_format(raw, ty, (n, k)).dequantize())
-    return qt, ref
+    return qt, np.asarray(flat.dequantize()), qt_flat
 
 
 @pytest.mark.parametrize("ty", [GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K,
@@ -144,22 +193,22 @@ def test_pallas_qmm_packed_matches_flat(ty, m):
     from tpu_engine.kernels.dequant_matmul import pallas_qmatmul
 
     n, k = 256, 512
-    qt, w = make_qtensor_packed(ty, n, k)
+    qt, w, qt_flat = make_qtensor_packed(ty, n, k)
     assert qt.packed
     x = RNG.normal(size=(m, k)).astype(np.float32)
 
-    def bf16(a):
-        return np.asarray(jnp.asarray(a, jnp.bfloat16), np.float32)
-
-    ref = bf16(x) @ bf16(w).T
     old = DM._INTERPRET
     DM._INTERPRET = True
     try:
         out = pallas_qmatmul(jnp.asarray(x), qt)
+        out_flat = pallas_qmatmul(jnp.asarray(x), qt_flat)
     finally:
         DM._INTERPRET = old
     got = np.asarray(out)
+    # the packed path reconstructs the exact same f32 scales in-kernel, so
+    # both paths feed identical bf16 weights to the dot: tight match
+    ref = np.asarray(out_flat)
     denom = np.maximum(np.abs(ref), 1.0)
-    assert np.max(np.abs(got - ref) / denom) < 5e-3
+    assert np.max(np.abs(got - ref) / denom) < 1e-3
     full = x @ w.T
-    assert np.max(np.abs(got - full) / np.maximum(np.abs(full), 1.0)) < 0.25
+    assert np.max(np.abs(got - full) / np.maximum(np.abs(full), 1.0)) < 0.75

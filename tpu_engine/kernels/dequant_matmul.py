@@ -123,9 +123,35 @@ def _expand_scales(sc_ref, b_ref, packed_gpb: int, packed_s: int,
     return sc_scratch[:], (b_scratch[:] if b_scratch is not None else None)
 
 
-def _nib4_kernel(xl_ref, xh_ref, qs_ref, sc_ref, b_ref, out_ref, acc_ref,
-                 *scratch, m: int, n_k: int, splits: int = 1,
-                 packed_gpb: int = 0, packed_s: int = 1):
+def _bias_dot(acc_ref, xs_ref, b0, k, kc_tiles: int):
+    """Fold the per-group bias in as ONE dot per k-chunk instead of two
+    [tn, tk] adds per sub-tile:  sum_k x_k * b_g(k) = xsum[:, g] @ b0.T
+    (xsum = activation pre-summed over each group's positions). Saves ~2
+    VPU passes per packed byte. The manual bf16x3 split keeps the bias
+    contribution exact to ~2^-17 relative (Mosaic rejects Precision.HIGH,
+    and HIGHEST's 6-way operand split overflows the 16 MB VMEM stack on
+    512-row prefill buckets)."""
+
+    @pl.when(k % kc_tiles == 0)
+    def _():
+        dims = (((1,), (1,)), ((), ()))
+        xs = xs_ref[:]
+        a_hi = xs.astype(jnp.bfloat16)
+        a_lo = (xs - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        b_hi = b0.astype(jnp.bfloat16)
+        b_lo = (b0 - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(a_hi, b_hi, dims,
+                                  preferred_element_type=jnp.float32)
+        acc += jax.lax.dot_general(a_hi, b_lo, dims,
+                                   preferred_element_type=jnp.float32)
+        acc += jax.lax.dot_general(a_lo, b_hi, dims,
+                                   preferred_element_type=jnp.float32)
+        acc_ref[:] += acc
+
+
+def _nib4_kernel(xl_ref, xh_ref, qs_ref, sc_ref, b_ref, xs_ref, out_ref,
+                 acc_ref, *scratch, m: int, n_k: int, splits: int = 1,
+                 packed_gpb: int = 0, packed_s: int = 1, kc_tiles: int = 1):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -139,19 +165,21 @@ def _nib4_kernel(xl_ref, xh_ref, qs_ref, sc_ref, b_ref, out_ref, acc_ref,
         sc_ref, b_ref, packed_gpb, packed_s,
         sc_scratch=scratch[0] if scratch else None,
         b_scratch=scratch[1] if len(scratch) > 1 else None, k_step=k)
-    # sub-tiling keeps the dequant intermediates (i32 + f32 + bf16 per
-    # packed byte) within the Mosaic VMEM stack for large tiles; every
-    # sub-tile spans whole group cycles so the scale tile is shared
+    if b0 is not None:
+        _bias_dot(acc_ref, xs_ref, b0, k, kc_tiles)
+    # dequant stays in f32 on the VPU (bf16 elementwise arithmetic is
+    # EMULATED — unpack/compute-f32/repack — and measured ~10% slower);
+    # the win over the old chain is the bias add moving into _bias_dot.
+    # Sub-tiling keeps the i32 + f32 + bf16 intermediates per packed byte
+    # within the Mosaic VMEM stack; the scale tile is rebuilt per split so
+    # its live range stays inside one sub-tile (hoisting it OOMs the
+    # 16 MB stack on 512-row prefill buckets).
     for h in range(splits):
         # bit ops in i32: Mosaic has no u8 vector shifts (arith.shrui on i8)
         q32 = qs_ref[:, h * sub:(h + 1) * sub].astype(jnp.int32)
         sc = pltpu.repeat(sc0, ms, axis=1) if ms > 1 else sc0
         lo = (q32 & 0x0F).astype(jnp.float32) * sc
         hi = (q32 >> 4).astype(jnp.float32) * sc
-        if b0 is not None:
-            b = pltpu.repeat(b0, ms, axis=1) if ms > 1 else b0
-            lo = lo + b
-            hi = hi + b
         acc_ref[:] += jax.lax.dot_general(
             xl_ref[:, h * sub:(h + 1) * sub], lo.astype(jnp.bfloat16), dims,
             preferred_element_type=jnp.float32,
@@ -166,9 +194,9 @@ def _nib4_kernel(xl_ref, xh_ref, qs_ref, sc_ref, b_ref, out_ref, acc_ref,
         out_ref[:] = acc_ref[:]
 
 
-def _i8_kernel(x_ref, qs_ref, sc_ref, b_ref, out_ref, acc_ref, *scratch,
-               m: int, n_k: int, splits: int = 1, packed_gpb: int = 0,
-               packed_s: int = 1):
+def _i8_kernel(x_ref, qs_ref, sc_ref, b_ref, xs_ref, out_ref, acc_ref,
+               *scratch, m: int, n_k: int, splits: int = 1,
+               packed_gpb: int = 0, packed_s: int = 1, kc_tiles: int = 1):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -181,12 +209,12 @@ def _i8_kernel(x_ref, qs_ref, sc_ref, b_ref, out_ref, acc_ref, *scratch,
         sc_ref, b_ref, packed_gpb, packed_s,
         sc_scratch=scratch[0] if scratch else None,
         b_scratch=scratch[1] if len(scratch) > 1 else None, k_step=k)
+    if b0 is not None:
+        _bias_dot(acc_ref, xs_ref, b0, k, kc_tiles)
     for h in range(splits):
         sc = pltpu.repeat(sc0, ms, axis=1) if ms > 1 else sc0
-        w = qs_ref[:, h * sub:(h + 1) * sub].astype(jnp.int32).astype(jnp.float32) * sc
-        if b0 is not None:
-            b = pltpu.repeat(b0, ms, axis=1) if ms > 1 else b0
-            w = w + b
+        w = qs_ref[:, h * sub:(h + 1) * sub].astype(jnp.int32).astype(
+            jnp.float32) * sc
         acc_ref[:] += jax.lax.dot_general(
             x_ref[:, h * sub:(h + 1) * sub], w.astype(jnp.bfloat16),
             (((1,), (1,)), ((), ())),
@@ -246,11 +274,26 @@ def _qmm_2d(x, qs, scale, bias, *, kind: str, group: int, n: int, k: int,
         return pl.BlockSpec((tn, arr.shape[1]), lambda i, kk: (i, 0),
                             memory_space=pltpu.VMEM)
 
+    # does the weight carry a per-group bias the kernel must fold in?
+    # (for packed tensors `bias` holds the int sub-scales; only the S=2
+    # formats reconstruct an actual bias row from them)
+    has_bias = (packed_s == 2) if packed_gpb else (bias is not None)
+    if has_bias:
+        # activation pre-summed over each group's positions, chunk-major
+        # [M, ng*shards] f32 — one tiny dot per k-chunk replaces two
+        # [tn, tk] adds per sub-tile (see _bias_dot)
+        xsum = xg.astype(jnp.float32).sum(axis=2).reshape(mrows, -1)
+
+    def xs_spec(kc_tiles):
+        return pl.BlockSpec((mrows, ng), lambda i, kk: (0, kk // kc_tiles),
+                            memory_space=pltpu.VMEM)
+
     if kind == "nib4":
         plane_rows = group // 2
         tkb = _tk
         m = tkb // ng
         n_k = (k // 2) // tkb
+        kc_tiles = max((k // shards) // 2 // tkb, 1)
         xl = xg[:, :, 0::2, :].reshape(mrows, k // 2)
         xh = xg[:, :, 1::2, :].reshape(mrows, k // 2)
         grid = (n // tn, n_k)
@@ -261,22 +304,30 @@ def _qmm_2d(x, qs, scale, bias, *, kind: str, group: int, n: int, k: int,
             packed_spec(scale) if packed_gpb else sc_spec(tkb),
         ]
         args = [xl, xh, qs, scale]
+        kw = dict(m=m, n_k=n_k, splits=_splits, packed_gpb=packed_gpb,
+                  packed_s=packed_s, kc_tiles=kc_tiles)
         if bias is not None:
             in_specs.append(packed_spec(bias) if packed_gpb else sc_spec(tkb))
             args.append(bias)
-            kernel = functools.partial(_nib4_kernel, m=m, n_k=n_k,
-                                       splits=_splits, packed_gpb=packed_gpb,
-                                       packed_s=packed_s)
+            if has_bias:
+                in_specs.append(xs_spec(kc_tiles))
+                args.append(xsum)
+                kernel = functools.partial(_nib4_kernel, **kw)
+            else:  # packed S=1: sub-scales present, no bias row
+                kernel = functools.partial(
+                    lambda xl, xh, qs, sc, b, out, acc, *scr, **kw2:
+                    _nib4_kernel(xl, xh, qs, sc, b, None, out, acc, *scr,
+                                 **kw2), **kw)
         else:
             kernel = functools.partial(
-                lambda xl, xh, qs, sc, out, acc, *scr, **kw:
-                _nib4_kernel(xl, xh, qs, sc, None, out, acc, *scr, **kw),
-                m=m, n_k=n_k, splits=_splits, packed_gpb=packed_gpb,
-                packed_s=packed_s)
+                lambda xl, xh, qs, sc, out, acc, *scr, **kw2:
+                _nib4_kernel(xl, xh, qs, sc, None, None, out, acc, *scr,
+                             **kw2), **kw)
     else:  # i8
         tk = _tk
         m = tk // ng
         n_k = k // tk
+        kc_tiles = max((k // shards) // tk, 1)
         xp = xg.reshape(mrows, k)  # flat col = c*kc + r*ng + g (chunk-major)
         grid = (n // tn, n_k)
         in_specs = [
@@ -285,18 +336,25 @@ def _qmm_2d(x, qs, scale, bias, *, kind: str, group: int, n: int, k: int,
             packed_spec(scale) if packed_gpb else sc_spec(tk),
         ]
         args = [xp, qs, scale]
+        kw = dict(m=m, n_k=n_k, splits=_splits, packed_gpb=packed_gpb,
+                  packed_s=packed_s, kc_tiles=kc_tiles)
         if bias is not None:
             in_specs.append(packed_spec(bias) if packed_gpb else sc_spec(tk))
             args.append(bias)
-            kernel = functools.partial(_i8_kernel, m=m, n_k=n_k,
-                                       splits=_splits, packed_gpb=packed_gpb,
-                                       packed_s=packed_s)
+            if has_bias:
+                in_specs.append(xs_spec(kc_tiles))
+                args.append(xsum)
+                kernel = functools.partial(_i8_kernel, **kw)
+            else:  # packed S=1: sub-scales present, no bias row
+                kernel = functools.partial(
+                    lambda x, qs, sc, b, out, acc, *scr, **kw2:
+                    _i8_kernel(x, qs, sc, b, None, out, acc, *scr, **kw2),
+                    **kw)
         else:
             kernel = functools.partial(
-                lambda x, qs, sc, out, acc, *scr, **kw:
-                _i8_kernel(x, qs, sc, None, out, acc, *scr, **kw),
-                m=m, n_k=n_k, splits=_splits, packed_gpb=packed_gpb,
-                packed_s=packed_s)
+                lambda x, qs, sc, out, acc, *scr, **kw2:
+                _i8_kernel(x, qs, sc, None, None, out, acc, *scr, **kw2),
+                **kw)
 
     return pl.pallas_call(
         kernel,
