@@ -58,13 +58,13 @@ def main():
     # warm-up: compile + advance fill to ~128 so attention reads real blocks
     for _ in range(4):
         toks_out, last, cache, st = decode_loop(
-            w, cache, tok1, act, cfg, params, st, CHUNK)
+            w, cache, tok1, act, cfg, params, st, CHUNK, rot_cache=True)
     jax.block_until_ready(toks_out)
 
     tmp = tempfile.mkdtemp(prefix="prof_")
     with jax.profiler.trace(tmp):
         toks_out, last, cache, st = decode_loop(
-            w, cache, tok1, act, cfg, params, st, CHUNK)
+            w, cache, tok1, act, cfg, params, st, CHUNK, rot_cache=True)
         jax.block_until_ready(toks_out)
 
     files = glob.glob(os.path.join(tmp, "**", "*.xplane.pb"), recursive=True)

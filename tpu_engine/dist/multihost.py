@@ -92,7 +92,8 @@ class OpChannel:
 
 # ops that mutate shared device state and therefore must replay everywhere;
 # pulls are process-local and deliberately absent
-_REPLAYED = ("step", "dloop", "trim", "seq_cp", "shift_compact", "clear_all")
+_REPLAYED = ("step", "dloop", "sample_first", "trim", "seq_cp",
+             "shift_compact", "clear_all")
 
 
 def _state_checksum(ops):
@@ -143,6 +144,13 @@ def _broadcast_ops_factory(channel: OpChannel):
             self._publish("dloop", (n_inner, np.asarray(active)),
                           {"reset": reset})
             return super().dloop(n_inner, active, reset=reset)
+
+        def sample_first(self, logits, by_slot, prevs, seed):
+            # logits are process-local device state produced by the
+            # broadcast `step`; every process re-derives them identically,
+            # so only the host-side sampling inputs travel
+            self._publish("sample_first", (by_slot, prevs, int(seed)), {})
+            return super().sample_first(logits, by_slot, prevs, seed)
 
         def trim(self, slot, n):
             self._publish("trim", (int(slot), int(n)), {})
@@ -263,6 +271,14 @@ def serve_follower(channel: OpChannel | None = None) -> None:
             continue
         if name == "dloop" and kwargs.get("reset") is not None:
             kwargs["reset"] = dict(kwargs["reset"], seed=config["seed"])
+        if name == "sample_first":
+            # re-derive the logits locally: the preceding replayed `step`
+            # left them as the follower's last step output
+            by_slot, prevs, _ = args
+            ops.sample_first(ops._last_step_logits, by_slot, prevs,
+                             config["seed"])
+            n_ops += 1
+            continue
         if name not in _REPLAYED:
             raise RuntimeError(f"unexpected op {name}")
         getattr(ops, name)(*args, **kwargs)

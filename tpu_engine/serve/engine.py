@@ -139,6 +139,12 @@ class InferenceEngine:
         # chunk; depth 2 recovers ~19% aggregate throughput).
         self._spec_q: list[dict] = []
         self._spec_depth = max(int(os.environ.get("TPU_ENGINE_SPEC_DEPTH", "2")), 1)
+        # first tokens sampled on device at prefill completion, not yet
+        # pulled: (finisher slots, [S] int32 device array). Consumed before
+        # any host logic that reads generated_tokens (_decode_multi pulls
+        # it AFTER dispatching the first chunk, overlapping the prefill's
+        # device time instead of blocking TTFT on it).
+        self._pending_first: tuple | None = None
         # Fresh entropy per engine so unseeded requests don't reproduce the
         # same streams across server restarts (reference seeds randomly too).
         self._dev_seed = int.from_bytes(os.urandom(4), "little")
@@ -737,7 +743,7 @@ class InferenceEngine:
         if self._trace:
             log.info("prefill-group n=%d bucket=%d dispatch=%.0fms",
                      len(grp), bucket, (time.time() - t0) * 1000)
-        rows = None
+        finishers = []
         for s, chunk, toks in info:
             s.n_prompt_done += chunk
             s.n_past += chunk
@@ -747,10 +753,30 @@ class InferenceEngine:
             s.timings.prompt_ms = (time.time() - s.t_start_prompt) * 1000.0
             s.t_start_gen = time.time()
             s.state = SlotState.GENERATING
-            if rows is None:
-                rows = self.ops.pull(logits)  # ONE [S, V] round-trip
-            token = s.sampler.sample(rows[s.id])
-            self._process_token(s, token)
+            finishers.append(s)
+        if not finishers:
+            return
+        if all(device_compatible(s.params.sampling)
+               and s.sampler.grammar_matcher is None for s in finishers):
+            # first tokens sampled on device and left there: the decode
+            # chunk chains from the device array without a host round-trip
+            # (the blocking [S, V] pull serialized prefill completion into
+            # TTFT); _consume_pending_first pulls the [S] ints while the
+            # first chunk is already running
+            by_slot = [None] * S
+            prevs: list[list[int]] = [[] for _ in range(S)]
+            for s in finishers:
+                by_slot[s.id] = s.params.sampling
+                prevs[s.id] = s.sampler.prev
+            toks_dev = self.ops.sample_first(logits, by_slot, prevs,
+                                             self._dev_seed)
+            self._pending_first = (finishers, toks_dev)
+            self._dev_sig = tuple(sorted((s.id, s.task_id)
+                                         for s in finishers))
+        else:
+            rows = self.ops.pull(logits)  # ONE [S, V] round-trip
+            for s in finishers:
+                self._process_token(s, s.sampler.sample(rows[s.id]))
 
     def _prefill_chunk(self, s: Slot):
         """One prompt chunk; returns (slot, final_logits) when the prompt
@@ -880,9 +906,23 @@ class InferenceEngine:
                 return n
         return 1
 
+    def _consume_pending_first(self) -> None:
+        """Pull and process the device-sampled first tokens (see
+        _prefill_group). Must run before any host logic that reads
+        generated_tokens of a freshly-launched slot."""
+        if self._pending_first is None:
+            return
+        finishers, toks_dev = self._pending_first
+        self._pending_first = None
+        toks = self.ops.pull(toks_dev)
+        for s in finishers:
+            if s.state == SlotState.GENERATING:
+                self._process_token(s, int(toks[s.id]))
+
     def _decode_step(self) -> None:
         gen = [s for s in self.slots if s.state == SlotState.GENERATING]
         if not gen:
+            self._consume_pending_first()
             return
         n_inner = self._pick_chunk(gen)
         if (
@@ -891,6 +931,10 @@ class InferenceEngine:
             and all(s.sampler.grammar_matcher is None for s in gen)
         ):
             self._decode_multi(gen, n_inner)
+            return
+        self._consume_pending_first()
+        gen = [s for s in gen if s.state == SlotState.GENERATING]
+        if not gen:
             return
         if self._spec_q:
             self._settle_all()
@@ -937,6 +981,14 @@ class InferenceEngine:
             if not gen:
                 return
             sig = tuple(sorted((s.id, s.task_id) for s in gen))
+        if self._pending_first is not None and sig != self._dev_sig:
+            # the dispatch below needs a reset (generated_tokens[-1]):
+            # settle the first tokens on host before building it
+            self._consume_pending_first()
+            gen = [s for s in gen if s.state == SlotState.GENERATING]
+            if not gen:
+                return
+            sig = tuple(sorted((s.id, s.task_id) for s in gen))
         if not self._spec_q:
             self._dispatch_chunk(gen, sig, n_inner)
         # keep the device queue at spec_depth chunks so it never idles
@@ -944,6 +996,18 @@ class InferenceEngine:
         while (len(self._spec_q) < self._spec_depth
                and self._can_speculate(gen, n_inner)):
             self._dispatch_chunk(gen, sig, n_inner)
+        if self._pending_first is not None:
+            # chunks above chained from the device-resident first tokens;
+            # pull them now — the pull returns once the (already queued)
+            # prefill+sample finish, while the chunks keep running
+            self._consume_pending_first()
+            gen2 = [s for s in gen if s.state == SlotState.GENERATING]
+            if len(gen2) != len(gen):
+                # rare: a first token hit EOS/stop — settle all in-flight
+                # chunks (handles the stopped slots' overrun cells/trims)
+                self._settle_all()
+                return
+            gen = gen2
         spec = self._spec_q.pop(0)
         t1 = time.time()
         toks = self.ops.pull(spec["toks"])  # the single D2H pull
@@ -1005,6 +1069,7 @@ class InferenceEngine:
         are trimmed (a slot relaunched with a NEW task is left alone — its
         launch-time trim/prefill already executed after these chunks in
         device order)."""
+        self._consume_pending_first()
         specs, self._spec_q = self._spec_q, []
         if not specs:
             return

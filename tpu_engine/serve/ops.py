@@ -32,7 +32,12 @@ from ..sampling.device import (
     new_state,
     params_from_host,
     ring_from_tokens,
+    sample_step,
 )
+
+# first-token sampling on prefill logits (one [S] int pull instead of the
+# [S, V] f32 row pull — ~1 MB D2H per new-prompt burst on remote runtimes)
+_sample_first_jit = jax.jit(sample_step)
 
 
 class EngineOps:
@@ -88,6 +93,9 @@ class EngineOps:
             embd=None if embd is None else self._arr(embd, np.float32),
             rot_cache=self.rot_cache,
         )
+        # kept for multihost replay: a follower's sample_first re-derives
+        # the first tokens from its own copy of the last step's logits
+        self._last_step_logits = logits
         return logits, pooled
 
     # ------------------------------------------------------- decode chunk
@@ -120,6 +128,30 @@ class EngineOps:
             self._dev_params, self._dev_state, n_inner,
             ga_n=self.ga_n, ga_w=self.ga_w, rot_cache=self.rot_cache,
         )
+        return toks
+
+    def sample_first(self, logits, by_slot, prevs, seed: int):
+        """Sample one token per slot ON DEVICE from prefill logits [S, V];
+        returns the [S] int32 DEVICE array (pull it with ops.pull when the
+        host needs the values — the next decode chunk can chain from it
+        without any round-trip, see dloop's reset=None path). Installs the
+        sampler params/state so that chaining works, and advances the
+        shared device PRNG keys. Callers must gate on device_compatible
+        for every sampled slot."""
+        S = self.n_slots
+        params = params_from_host(by_slot)
+        keys = (self._dev_state.keys if self._dev_state is not None
+                else self._arr(np.asarray(new_state(S, seed=seed).keys)))
+        state = DeviceSamplerState(
+            ring=self._arr(np.asarray(ring_from_tokens(prevs, S))),
+            keys=keys)
+        if self._sharding is not None:
+            params = jax.tree.map(
+                lambda a: jax.device_put(np.asarray(a), self._sharding),
+                params)
+        toks, self._dev_state = _sample_first_jit(logits, params, state)
+        self._dev_params = params
+        self._last_tok_dev = toks
         return toks
 
     # ------------------------------------------------------------ kv ops
