@@ -317,3 +317,32 @@ def test_system_prompt_broadcast(tmp_path):
         assert len(eng.sys_tokens) != n_sys or final3.text != outs[0].text
     finally:
         eng.shutdown()
+
+
+def test_two_prefill_groups_same_iteration(tmp_path):
+    """Regression: two bucket GROUPS finishing prefill in one engine
+    iteration must both get their first tokens. The device-chained
+    first-token handle (_pending_first) was overwritten by the second
+    _prefill_group call, leaving the first group's slots GENERATING with
+    empty generated_tokens -> IndexError in _dispatch_chunk (engine
+    fail-all). A long blocker prompt keeps the loop busy while four
+    requests queue, so they land in slots in one ProcessTasks pass and
+    prefill as two groups (2x bucket 16 + 2x bucket 32)."""
+    from tpu_engine.serve.engine import InferenceEngine
+
+    path = str(tmp_path / "tiny.gguf")
+    build_test_gguf(path, "f32", seed=3)
+    lm = load_model(path)
+    eng = InferenceEngine(lm, n_ctx=5 * 256, n_parallel=5, n_batch=32,
+                          prefill_buckets=(16, 32))
+    try:
+        blocker = eng.request_completion(greedy(prompt=[1] * 200, n=2))
+        tids = [
+            eng.request_completion(greedy(prompt=[2 + i] * ln, n=8))
+            for i, ln in enumerate((10, 10, 24, 24))
+        ]
+        for tid in [blocker] + tids:
+            _, final = collect(eng, tid)
+            assert final.tokens_predicted > 0
+    finally:
+        eng.shutdown()

@@ -770,7 +770,13 @@ class InferenceEngine:
                 prevs[s.id] = s.sampler.prev
             toks_dev = self.ops.sample_first(logits, by_slot, prevs,
                                              self._dev_seed)
-            self._pending_first = (finishers, toks_dev)
+            # several groups can prefill in ONE iteration (one per bucket):
+            # settle the previous group's device-resident first tokens
+            # before overwriting the handle, or its finishers would stay
+            # GENERATING with no first token ever assigned
+            self._consume_pending_first()
+            self._pending_first = ([(s, s.task_id) for s in finishers],
+                                   toks_dev)
             self._dev_sig = tuple(sorted((s.id, s.task_id)
                                          for s in finishers))
         else:
@@ -915,8 +921,11 @@ class InferenceEngine:
         finishers, toks_dev = self._pending_first
         self._pending_first = None
         toks = self.ops.pull(toks_dev)
-        for s in finishers:
-            if s.state == SlotState.GENERATING:
+        for s, tid in finishers:
+            # task check: the slot may have been cancelled and relaunched
+            # with a NEW task between prefill and this pull — its pending
+            # first token belongs to the old task and must be dropped
+            if s.state == SlotState.GENERATING and s.task_id == tid:
                 self._process_token(s, int(toks[s.id]))
 
     def _decode_step(self) -> None:
