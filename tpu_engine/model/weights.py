@@ -102,10 +102,13 @@ def qtensor_from_gguf(g: GGUFFile, name: str, dtype=jnp.float32,
             perm_shards = 1  # chunking impossible; caller replicates
         # two-level packed scales for k-quants (23% less HBM traffic on
         # Q4_K); single-shard only — superblocks need not divide K/p.
-        # Default OFF: the fused kernel is currently VPU-bound (profiled
-        # 262-445 GB/s of 819 on 7B shapes), so the saved scale bytes
-        # don't pay for the in-kernel expansion yet (bench: 466 vs 493
-        # tok/s). Re-flip once the dequant VPU passes shrink.
+        # Default OFF: the fused kernel is VPU-bound, so the saved scale
+        # bytes don't pay for the in-kernel expansion. Measured twice on
+        # v5e 7B Q4_K_M bs=8: 466 vs 493 tok/s pre-bias-dot, and 492 vs
+        # 549 AFTER the bias-dot VPU reduction — the gap widened, so the
+        # remaining expansion cost (per-n-tile scale rebuild + the f32
+        # d*sc products) dominates the byte savings. Re-test only after a
+        # change that removes the per-tile expansion itself.
         packed = (
             perm_shards == 1
             and ti.ggml_type in PACKED_TYPES
