@@ -93,6 +93,73 @@ def hf_logits(hf, ids):
     return out.logits[0].float().numpy()
 
 
+def tiny_llama_scaled(rope_scaling, seed=17):
+    """Tiny HF llama with a rope_scaling config — the llama-3.1 / yarn /
+    linear long-context families of the reference's weekend matrix
+    (/root/reference/.github/scripts/e2e-test-server-weekend.py:30-35)."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = LlamaConfig(
+        vocab_size=VOCAB, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2,
+        intermediate_size=128, max_position_embeddings=256,
+        rms_norm_eps=1e-5, rope_theta=10000.0, tie_word_embeddings=False,
+        rope_scaling=rope_scaling, attn_implementation="eager",
+    )
+    return LlamaForCausalLM(cfg).eval()
+
+
+@pytest.mark.parametrize("rs,expect", [
+    ({"rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+      "high_freq_factor": 4.0, "original_max_position_embeddings": 32},
+     "freqs"),
+    ({"rope_type": "yarn", "factor": 4.0,
+      "original_max_position_embeddings": 32}, "yarn"),
+    ({"rope_type": "linear", "factor": 4.0}, "linear"),
+])
+def test_rope_scaling_matches_hf(tmp_path, rs, expect):
+    """llama-3.1-style factor curves (rope_freqs.weight), yarn, and linear
+    rope scaling all reproduce HF logits — short positions AND positions
+    beyond the original context (where unscaled rope would silently
+    diverge)."""
+    hf = tiny_llama_scaled(rs)
+    path = str(tmp_path / "scaled.gguf")
+    hf_llama_to_gguf(hf, path, "f32", tokenizer_metadata(VOCAB), name="l31")
+    lm = load_model(path)
+    if expect == "freqs":
+        assert len(lm.cfg.rope_freqs) == lm.cfg.rope_dim // 2
+        assert max(lm.cfg.rope_freqs) > 1.0  # low-freq dims carry the factor
+    else:
+        assert lm.cfg.rope_scaling_type == expect
+        assert lm.cfg.rope_scaling == 4.0
+
+    rng = np.random.RandomState(3)
+    prompt = [1] + rng.randint(4, VOCAB, size=63).tolist()  # 64 > orig ctx 32
+    ref = hf_logits(hf, prompt)
+
+    # short position (within the original context)
+    logits, _, _ = forward_step(
+        lm.weights, new_cache(lm.cfg.n_layer, 1, 128, lm.cfg.n_kv_head,
+                              lm.cfg.head_dim),
+        jnp.asarray([prompt[:6]], jnp.int32), jnp.asarray([0], jnp.int32),
+        jnp.asarray([True]), lm.cfg,
+    )
+    np.testing.assert_allclose(np.asarray(logits)[0], ref[5],
+                               rtol=2e-3, atol=2e-3)
+
+    # long position (beyond the original context)
+    logits, _, _ = forward_step(
+        lm.weights, new_cache(lm.cfg.n_layer, 1, 128, lm.cfg.n_kv_head,
+                              lm.cfg.head_dim),
+        jnp.asarray([prompt], jnp.int32), jnp.asarray([0], jnp.int32),
+        jnp.asarray([True]), lm.cfg,
+    )
+    np.testing.assert_allclose(np.asarray(logits)[0], ref[-1],
+                               rtol=2e-3, atol=2e-3)
+
+
 @pytest.mark.parametrize("builder,arch", [
     (tiny_gemma, "gemma"),
     (tiny_gemma2, "gemma2"),

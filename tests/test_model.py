@@ -353,7 +353,7 @@ def test_rot_cache_shift_compact_rerotates(tmp_path):
             lm.weights, cache, jnp.asarray([toks], jnp.int32),
             jnp.asarray([0], jnp.int32), jnp.asarray([True]), cfg,
             rot_cache=rot)
-        rope = ((cfg.rope_dim, cfg.rope_theta, cfg.rope_scaling)
+        rope = ((cfg.rope_dim, cfg.rope_freq_table()[0])
                 if rot else None)
         cache = shift_compact(cache, jnp.int32(0), jnp.int32(n_keep),
                               jnp.int32(n_discard), rope=rope)

@@ -84,15 +84,15 @@ def _rotate(x, cos, sin, cfg: ModelConfig):
 def _rope_tables(Tpad: int, cfg: ModelConfig, ga_n, ga_w):
     """cos/sin [Tpad, rd/2] by cell index, self-extend remap baked in.
     Computed in XLA outside the kernel; CSE'd across the layer loop."""
-    half = cfg.rope_dim // 2
     pos = jnp.arange(Tpad, dtype=jnp.int32)
     pos = jnp.where(
         (ga_n > 1) & (pos >= ga_w), ga_w + (pos - ga_w) // jnp.maximum(ga_n, 1), pos
     )
-    inv_freq = jnp.exp(
-        jnp.arange(half, dtype=jnp.float32) * (-math.log(cfg.rope_theta) / half)
-    )
-    ang = pos.astype(jnp.float32)[:, None] * inv_freq[None, :] / cfg.rope_scaling
+    inv_freq_t, mscale = cfg.rope_freq_table()  # linear/yarn/llama3 folded in
+    inv_freq = jnp.asarray(inv_freq_t, jnp.float32)
+    ang = pos.astype(jnp.float32)[:, None] * inv_freq[None, :]
+    if mscale != 1.0:
+        return jnp.cos(ang) * mscale, jnp.sin(ang) * mscale
     return jnp.cos(ang), jnp.sin(ang)
 
 

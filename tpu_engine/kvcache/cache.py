@@ -287,12 +287,15 @@ def shift_compact(cache: KVCache, slot: jax.Array, n_keep: jax.Array,
     seq_add(-d)). Because cell index == position, the slide renumbers
     positions implicitly.
 
-    rope = (rope_dim, theta, scaling) when the cache stores K ROTATED
+    rope = (rope_dim, inv_freq_tuple) when the cache stores K ROTATED
     (model/llama.py rot_cache; the upstream llama.cpp design): moved cells
     were rotated by their OLD position, so re-rotate them by -n_discard
     (rotation composition — position-independent, one cos/sin vector).
-    Quantized K is dequantized, re-rotated, and requantized, exactly like
-    upstream llama.cpp's K-shift on a quantized cache.
+    inv_freq_tuple is cfg.rope_freq_table()[0] — the EFFECTIVE per-pair
+    frequencies with linear/yarn/llama3 scaling folded in (the delta
+    rotation must not re-apply yarn's magnitude scale, so mscale is
+    excluded). Quantized K is dequantized, re-rotated, and requantized,
+    exactly like upstream llama.cpp's K-shift on a quantized cache.
     """
     T = cache.max_len
     idx = jnp.arange(T, dtype=jnp.int32)
@@ -308,10 +311,10 @@ def shift_compact(cache: KVCache, slot: jax.Array, n_keep: jax.Array,
     k, v, ks, vs = _map_planes(cache, gather_slot)
 
     if rope is not None:
-        rd, theta, scaling = rope
+        rd, inv_freq_t = rope
         half = rd // 2
-        inv_freq = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
-        ang = -n_discard.astype(jnp.float32) * inv_freq / scaling  # [half]
+        inv_freq = jnp.asarray(inv_freq_t, jnp.float32)
+        ang = -n_discard.astype(jnp.float32) * inv_freq  # [half]
         cos, sin = jnp.cos(ang), jnp.sin(ang)
 
         def rot_delta(x):  # x [..., T, D] float, split-half rotation

@@ -10,7 +10,10 @@ phi3, mistral, openhermes, tinyllama, qwen2).
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
+
+import numpy as np
 
 
 # Architectures that share the llama compute graph (RMSNorm/RoPE/GQA/SwiGLU).
@@ -44,7 +47,17 @@ class ModelConfig:     # which jit treats as a static argument
     # even-indexed layers when swa_alternate (gemma2's local/global pattern)
     sliding_window: int = 0
     swa_alternate: bool = False
-    rope_scaling: float = 1.0
+    rope_scaling: float = 1.0  # linear/yarn factor (freq_scale = 1/factor)
+    # rope scaling flavor: "none" | "linear" | "yarn". llama-3.1-style
+    # per-frequency factor curves arrive as the rope_freqs.weight tensor
+    # (loaded into rope_freqs by model/loader.py) — llama.cpp divides each
+    # inverse frequency by its factor; so do we.
+    rope_scaling_type: str = "none"
+    rope_orig_ctx: int = 0  # rope.scaling.original_context_length
+    yarn_attn_factor: float = 1.0  # rope.scaling.attn_factor
+    yarn_beta_fast: float = 32.0  # correction-range betas (llama.cpp defaults)
+    yarn_beta_slow: float = 1.0
+    rope_freqs: tuple = ()  # per-pair divisors from rope_freqs.weight
     # attention logit scale; 0 -> the default 1/sqrt(head_dim). gemma2-27b
     # scales queries by 1/sqrt(n_embd/n_head)=1/sqrt(144) instead (llama.cpp
     # keys this off MODEL_27B; HF query_pre_attn_scalar=144)
@@ -99,6 +112,16 @@ class ModelConfig:     # which jit treats as a static argument
         scale = md.get(f"{arch}.rope.scaling.factor")
         if scale:
             cfg.rope_scaling = float(scale)
+        stype = md.get(f"{arch}.rope.scaling.type")
+        if stype:
+            cfg.rope_scaling_type = str(stype)
+        elif scale:
+            cfg.rope_scaling_type = "linear"
+        cfg.rope_orig_ctx = int(
+            g("rope.scaling.original_context_length", 0) or 0)
+        af = g("rope.scaling.attn_factor")
+        if af:
+            cfg.yarn_attn_factor = float(af)
         sw = g("attention.sliding_window")
         if sw:
             cfg.sliding_window = int(sw)
@@ -111,6 +134,59 @@ class ModelConfig:     # which jit treats as a static argument
         elif arch == "gemma2" and n_embd == 4608:
             cfg.attn_scale = (n_embd / n_head) ** -0.5
         return cfg
+
+    def rope_freq_table(self) -> tuple[tuple, float]:
+        """(inv_freq [rope_dim//2] as a tuple of floats, mscale).
+
+        The effective per-pair inverse frequencies with ALL rope scaling
+        folded in — the single source the model graph, the flash-attention
+        rope tables, and shift_compact's re-rope all read:
+
+        - llama-3.1 factor curves: rope_freqs.weight divides each frequency
+          (upstream ggml freq_factors semantics; the reference serves
+          llama3.1 via its weekend matrix,
+          /root/reference/.github/scripts/e2e-test-server-weekend.py:30-35).
+        - linear: every frequency multiplied by freq_scale = 1/factor.
+        - yarn: NTK-by-parts — frequencies below the beta_fast correction
+          dim stay extrapolated, above beta_slow fully interpolated, ramped
+          between (ggml rope_yarn math); cos/sin magnitudes scale by
+          mscale = attn_factor * (1 + 0.1 ln(factor)).
+
+        Since angles are linear in position, interpolation folds into the
+        frequency table once; mscale is the only other output.
+        """
+        cached = self.extra.get("_rope_table")
+        if cached is not None:
+            return cached
+        half = self.rope_dim // 2
+        inv = self.rope_theta ** (
+            -np.arange(half, dtype=np.float64) / half)
+        if self.rope_freqs:
+            inv = inv / np.asarray(self.rope_freqs, np.float64)
+        mscale = 1.0
+        stype = self.rope_scaling_type
+        if stype == "yarn" and self.rope_scaling != 1.0 and self.rope_orig_ctx:
+            fs = 1.0 / self.rope_scaling
+            # correction dims (ggml rope_yarn_corr_dims): dim below which
+            # wavelengths complete >= beta rotations inside the original ctx
+            def corr(beta):
+                return (self.rope_dim
+                        * math.log(self.rope_orig_ctx / (beta * 2 * math.pi))
+                        / (2 * math.log(self.rope_theta)))
+            low = max(0.0, math.floor(corr(self.yarn_beta_fast)))
+            high = min(self.rope_dim - 1.0, math.ceil(corr(self.yarn_beta_slow)))
+            i0 = np.arange(half, dtype=np.float64) * 2
+            ramp_mix = 1.0 - np.minimum(
+                1.0, np.maximum(0.0, (i0 / 2 - low) / max(high - low, 0.001)))
+            # theta = interp*(1-mix) + extrap*mix, linear in pos
+            inv = inv * (fs * (1.0 - ramp_mix) + ramp_mix)
+            mscale = self.yarn_attn_factor * (
+                1.0 + 0.1 * math.log(self.rope_scaling))
+        elif self.rope_scaling != 1.0:
+            inv = inv / self.rope_scaling
+        out = (tuple(float(x) for x in inv.astype(np.float32)), float(mscale))
+        self.extra["_rope_table"] = out
+        return out
 
     def layer_window(self, li: int) -> int:
         """Sliding window for layer li (0 = global). gemma2 alternates:

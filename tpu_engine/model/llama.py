@@ -34,18 +34,25 @@ def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     return (xf * inv).astype(x.dtype) * w
 
 
-def rope_cos_sin(pos: jax.Array, rope_dim: int, theta: float, scaling: float = 1.0):
-    """cos/sin tables for positions. pos: [...]; returns [..., rope_dim//2]."""
-    half = rope_dim // 2
-    inv_freq = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
-    ang = pos.astype(jnp.float32)[..., None] * inv_freq / scaling
+def rope_cos_sin(pos: jax.Array, cfg: ModelConfig):
+    """cos/sin tables for positions. pos: [...]; returns [..., rope_dim//2].
+
+    Frequencies come from cfg.rope_freq_table(), which folds linear / yarn /
+    llama-3.1 freq-factor scaling into one effective inverse-frequency
+    vector; yarn's attention-magnitude scale multiplies both tables (applied
+    to Q and K like upstream ggml's rope, so scores carry mscale^2)."""
+    inv_freq_t, mscale = cfg.rope_freq_table()
+    inv_freq = jnp.asarray(inv_freq_t, jnp.float32)
+    ang = pos.astype(jnp.float32)[..., None] * inv_freq
+    if mscale != 1.0:
+        return jnp.cos(ang) * mscale, jnp.sin(ang) * mscale
     return jnp.cos(ang), jnp.sin(ang)
 
 
 def apply_rope(x: jax.Array, pos: jax.Array, cfg: ModelConfig) -> jax.Array:
     """x: [..., T, H, D], pos broadcastable to [..., T]. Applied in f32."""
     rd = cfg.rope_dim
-    cos, sin = rope_cos_sin(pos, rd, cfg.rope_theta, cfg.rope_scaling)
+    cos, sin = rope_cos_sin(pos, cfg)
     cos = cos[..., None, :]  # [..., T, 1, rd/2]
     sin = sin[..., None, :]
     xf = x.astype(jnp.float32)
@@ -73,7 +80,7 @@ def apply_rope_storage(x: jax.Array, pos: jax.Array, cfg: ModelConfig) -> jax.Ar
     full-cache relayout copy every step (see kvcache._put_slot_windows;
     measured +2.1 ms/step)."""
     rd, half = cfg.rope_dim, cfg.rope_dim // 2
-    cos, sin = rope_cos_sin(pos, rd, cfg.rope_theta, cfg.rope_scaling)
+    cos, sin = rope_cos_sin(pos, cfg)
     cos = cos[..., None, :, :]  # [..., 1(KH), Tc, half]
     sin = sin[..., None, :, :]
     xf = x.astype(jnp.float32)

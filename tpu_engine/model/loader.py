@@ -69,6 +69,12 @@ def load_model(
     g = read_gguf(path)
     try:
         cfg = ModelConfig.from_gguf_metadata(g.metadata)
+        if "rope_freqs.weight" in g.tensors:
+            # llama-3.1-style per-frequency rope factors (ggml freq_factors;
+            # divides each inverse frequency — see cfg.rope_freq_table)
+            cfg.rope_freqs = tuple(
+                float(x) for x in
+                np.asarray(g.dequantize("rope_freqs.weight", np.float32)))
         tok = Tokenizer.from_gguf_metadata(g.metadata)
         add_one = cfg.arch.startswith("gemma")
 

@@ -165,8 +165,8 @@ class EngineOps:
         rope = None
         if self.rot_cache:
             # moved K cells must re-rotate by -n_discard (llama.cpp K-shift)
-            rope = (self.cfg.rope_dim, self.cfg.rope_theta,
-                    self.cfg.rope_scaling)
+            # using the EFFECTIVE frequencies (linear/yarn/llama3 folded in)
+            rope = (self.cfg.rope_dim, self.cfg.rope_freq_table()[0])
         self.cache = shift_compact(
             self.cache, jnp.int32(slot), jnp.int32(n_keep),
             jnp.int32(n_discard), rope=rope)

@@ -90,6 +90,38 @@ def hf_llama_to_gguf(
     w.add(f"{gguf_arch}.rope.dimension_count", int(head_dim))
     w.add(f"{gguf_arch}.attention.key_length", int(head_dim))
     w.add(f"{gguf_arch}.vocab_size", int(cfg.vocab_size))
+
+    # rope scaling, following convert_hf_to_gguf.py conventions: linear and
+    # yarn become metadata; llama3 factor curves become the
+    # rope_freqs.weight tensor (ggml freq_factors), no scaling metadata
+    rs = getattr(cfg, "rope_scaling", None) or {}
+    rtype = rs.get("rope_type", rs.get("type"))
+    rope_factors = None
+    if rtype == "linear":
+        w.add(f"{gguf_arch}.rope.scaling.type", "linear")
+        w.add(f"{gguf_arch}.rope.scaling.factor", float(rs["factor"]))
+    elif rtype == "yarn":
+        w.add(f"{gguf_arch}.rope.scaling.type", "yarn")
+        w.add(f"{gguf_arch}.rope.scaling.factor", float(rs["factor"]))
+        w.add(f"{gguf_arch}.rope.scaling.original_context_length",
+              int(rs["original_max_position_embeddings"]))
+    elif rtype == "llama3":
+        factor = float(rs.get("factor", 8.0))
+        low_ff = float(rs.get("low_freq_factor", 1.0))
+        high_ff = float(rs.get("high_freq_factor", 4.0))
+        old_ctx = int(rs.get("original_max_position_embeddings", 8192))
+        base = float(getattr(cfg, "rope_theta", 10000.0))
+        hd = getattr(cfg, "head_dim", None) or cfg.hidden_size // n_head
+        freqs = 1.0 / base ** (np.arange(0, hd, 2, dtype=np.float64) / hd)
+        wavelen = 2 * np.pi / freqs
+        low_wl, high_wl = old_ctx / low_ff, old_ctx / high_ff
+        smooth = (old_ctx / wavelen - low_ff) / (high_ff - low_ff)
+        rope_factors = np.where(
+            wavelen < high_wl, 1.0,
+            np.where(wavelen > low_wl, factor,
+                     1.0 / ((1.0 - smooth) / factor + smooth))
+        ).astype(np.float32)
+
     if tokenizer_metadata:
         add_tokenizer_metadata(w, tokenizer_metadata)
 
@@ -113,6 +145,8 @@ def hf_llama_to_gguf(
 
     put("token_embd.weight", sd["model.embed_tokens.weight"])
     put("output_norm.weight", sd["model.norm.weight"])
+    if rope_factors is not None:
+        w.add_tensor("rope_freqs.weight", rope_factors, GGMLType.F32)
     tied = getattr(cfg, "tie_word_embeddings", False) or arch.startswith("gemma")
     if "lm_head.weight" in sd and not tied:
         put("output.weight", sd["lm_head.weight"])
