@@ -172,17 +172,47 @@ def test_full_cortex_flow(server):
     status, resp = post(base, "/modelstatus", {"model": "tinyllama"})
     assert status == 409
 
-    # 9) reload as embedding model type (reference e2e second phase)
+    # 9) load a REAL embedding model (reference e2e second phase loads
+    # nomic-embed, a bert-family encoder, with model_type: embedding)
+    from tests.test_bert import tiny_bert, wp_tokenizer_metadata
+    from tpu_engine.tools.convert import hf_bert_to_gguf
+
+    hf = tiny_bert()
+    bert_path = model_path.replace("tiny.gguf", "bert.gguf")
+    hf_bert_to_gguf(hf, bert_path, "f32", wp_tokenizer_metadata(),
+                    pooling_type=1)
     status, resp = post(base, "/loadmodel", {
-        "llama_model_path": model_path,
+        "llama_model_path": bert_path,
         "model": "tinyembed",
         "model_type": "embedding",
         "n_parallel": 1,
-        "ctx_len": 256,
+        "ctx_len": 64,
     })
     assert status == 200, resp
-    status, resp = post(base, "/v1/embeddings", {"model": "tinyembed", "input": "hi"})
+    status, resp = post(base, "/v1/embeddings",
+                        {"model": "tinyembed",
+                         "input": "the quick brown fox"})
     assert status == 200
+    got = np.asarray(resp["data"][0]["embedding"])
+    np.testing.assert_allclose(np.linalg.norm(got), 1.0, rtol=1e-4)
+    # cosine parity vs HF mean pooling + L2 (the bert graph end-to-end
+    # through HTTP, WordPiece tokenization included)
+    import torch
+    from tpu_engine.tokenizer.tokenizer import Tokenizer
+    ids = Tokenizer.from_gguf_metadata(wp_tokenizer_metadata()).encode(
+        "the quick brown fox", add_special=True)
+    with torch.no_grad():
+        hid = hf(input_ids=torch.tensor([ids]),
+                 attention_mask=torch.ones(1, len(ids), dtype=torch.long)
+                 ).last_hidden_state[0].float().numpy()
+    ref = hid.mean(axis=0)
+    ref = ref / np.linalg.norm(ref)
+    assert abs(float(got @ ref)) > 0.999
+    # chat against the embedding model is a clean error, not a hang
+    status, resp = post(base, "/v1/chat/completions", {
+        "model": "tinyembed", "max_tokens": 4,
+        "messages": [{"role": "user", "content": "x"}]})
+    assert status == 500
     status, resp = post(base, "/unloadmodel", {"model": "tinyembed"})
     assert status == 200
 

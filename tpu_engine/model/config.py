@@ -18,7 +18,15 @@ import numpy as np
 
 # Architectures that share the llama compute graph (RMSNorm/RoPE/GQA/SwiGLU).
 LLAMA_LIKE = {"llama", "mistral", "qwen2", "stablelm", "tinyllama"}
-KNOWN_ARCHS = LLAMA_LIKE | {"gemma", "gemma2", "phi3"}
+# Bidirectional encoder families (embedding models — the reference's
+# nomic-embed flow, /root/reference/Makefile:6): LayerNorm+bias graph,
+# non-causal attention, pooled output (model/bert.py).
+ENCODER_ARCHS = {"bert", "nomic-bert"}
+KNOWN_ARCHS = LLAMA_LIKE | {"gemma", "gemma2", "phi3"} | ENCODER_ARCHS
+
+# llama.cpp pooling-type enum (llama.h llama_pooling_type; consumed by the
+# reference at llama_server_context.cc:1042-1058)
+POOLING_TYPES = {0: "last", 1: "mean", 2: "cls", 3: "last", 4: "cls"}
 
 
 @dataclass(eq=False)  # identity hash/eq: each loaded model owns one config,
@@ -62,6 +70,11 @@ class ModelConfig:     # which jit treats as a static argument
     # scales queries by 1/sqrt(n_embd/n_head)=1/sqrt(144) instead (llama.cpp
     # keys this off MODEL_27B; HF query_pre_attn_scalar=144)
     attn_scale: float = 0.0
+    # encoder families (bert/nomic-bert): bidirectional attention, LayerNorm
+    # with bias instead of RMSNorm, pooled embedding output
+    causal: bool = True
+    pooling_type: str = "mean"  # mean | cls | last
+    n_type_vocab: int = 0  # token-type embedding rows (bert)
     extra: dict = field(default_factory=dict)
 
     def attention_scale(self) -> float:
@@ -79,6 +92,8 @@ class ModelConfig:     # which jit treats as a static argument
             v = md.get(f"{arch}.{key}", default)
             return v
 
+        if arch in ENCODER_ARCHS:
+            return cls._encoder_from_gguf(arch, md)
         n_embd = int(g("embedding_length"))
         n_head = int(g("attention.head_count"))
         n_kv_head = int(g("attention.head_count_kv", n_head))
@@ -128,12 +143,55 @@ class ModelConfig:     # which jit treats as a static argument
             cfg.swa_alternate = arch == "gemma2"
         # explicit query scale wins; else the gemma2-27b shape (n_embd 4608)
         # uses 1/sqrt(n_embd/n_head) like llama.cpp's MODEL_27B switch
+        # pooling for /v1/embeddings: explicit metadata wins; a causal LLM
+        # without it matches the reference's effective behavior — pooling
+        # NONE falls back to the last token's hidden state
+        # (llama_get_embeddings_ith, llama_server_context.cc:1042-1045)
+        pt = g("pooling_type")
+        cfg.pooling_type = (POOLING_TYPES.get(int(pt), "mean")
+                            if pt is not None else "last")
         qpas = g("attention.query_pre_attn_scalar")
         if qpas:
             cfg.attn_scale = float(qpas) ** -0.5
         elif arch == "gemma2" and n_embd == 4608:
             cfg.attn_scale = (n_embd / n_head) ** -0.5
         return cfg
+
+    @classmethod
+    def _encoder_from_gguf(cls, arch: str, md: dict) -> "ModelConfig":
+        """bert / nomic-bert encoder hparams (the reference's embedding-model
+        families; nomic-embed via /root/reference/Makefile:6). LayerNorm
+        epsilon reuses the rms_eps field; rope fields only matter for
+        nomic-bert (bert uses learned position embeddings)."""
+
+        def g(key, default=None):
+            return md.get(f"{arch}.{key}", default)
+
+        n_embd = int(g("embedding_length"))
+        n_head = int(g("attention.head_count"))
+        eps = g("attention.layer_norm_epsilon",
+                g("attention.layer_norm_rms_epsilon", 1e-12))
+        pooling = POOLING_TYPES.get(int(g("pooling_type", 1) or 1), "mean")
+        return cls(
+            arch=arch,
+            n_layer=int(g("block_count")),
+            n_embd=n_embd,
+            n_head=n_head,
+            n_kv_head=n_head,
+            head_dim=n_embd // n_head,
+            n_ff=int(g("feed_forward_length")),
+            n_vocab=len(md["tokenizer.ggml.tokens"])
+            if "tokenizer.ggml.tokens" in md else int(g("vocab_size")),
+            n_ctx_train=int(g("context_length", 512)),
+            rms_eps=float(eps),
+            rope_theta=float(g("rope.freq_base", 10000.0)),
+            rope_dim=n_embd // n_head,
+            rope_type="neox",
+            act="gelu",
+            causal=False,
+            pooling_type=pooling,
+            n_type_vocab=int(g("attention.token_type_count", 2) or 2),
+        )
 
     def rope_freq_table(self) -> tuple[tuple, float]:
         """(inv_freq [rope_dim//2] as a tuple of floats, mscale).

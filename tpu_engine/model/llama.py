@@ -327,6 +327,13 @@ def _forward(
         # full final hidden states (perplexity eval: the caller projects
         # every position through the output head)
         pooled = x.astype(jnp.float32)
+    elif collect_hidden == "cls":
+        # first-token pooling (reference pooling-type CLS,
+        # llama_get_embeddings_seq via llama_server_context.cc:1042)
+        pooled = x[:, 0].astype(jnp.float32)
+    elif collect_hidden == "last":
+        # last-valid-token pooling (pooling LAST / the NONE->ith fallback)
+        pooled = x[jnp.arange(B), jnp.maximum(n_valid - 1, 0)].astype(jnp.float32)
     elif collect_hidden:
         # mean pooling over the valid tokens (llama.cpp mean pooling analog)
         valid = (jnp.arange(Tc, dtype=jnp.int32)[None, :] < n_valid[:, None])[..., None]

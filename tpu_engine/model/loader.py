@@ -55,6 +55,60 @@ def deinterleave_rope_perm(n_head: int, head_dim: int, rope_dim: int) -> np.ndar
     return (np.arange(n_head)[:, None] * head_dim + p[None, :]).reshape(-1)
 
 
+def _load_encoder(g: GGUFFile, cfg, tok, compute_dtype) -> LoadedModel:
+    """bert / nomic-bert tensor layout (llama.cpp encoder conventions;
+    model/bert.py consumes this dict). All LayerNorms carry biases; linear
+    projections may (bert) or may not (nomic-bert) have biases."""
+    from .weights import qtensor_from_gguf as qt_raw
+
+    def qt(name):
+        return qt_raw(g, name, compute_dtype)
+
+    def dense(lw, key, gname):
+        lw[key] = qt(gname + ".weight")
+        if gname + ".bias" in g.tensors:
+            lw[key + "_b"] = jnp.asarray(
+                g.dequantize(gname + ".bias", np.float32), compute_dtype)
+
+    weights = {
+        "token_embd": qt("token_embd.weight"),
+        "token_embd_norm": _norm(g, "token_embd_norm.weight", compute_dtype),
+        "token_embd_norm_b": jnp.asarray(
+            g.dequantize("token_embd_norm.bias", np.float32), compute_dtype),
+        "layers": [],
+    }
+    if "token_types.weight" in g.tensors:
+        weights["token_types"] = jnp.asarray(
+            g.dequantize("token_types.weight", np.float32), compute_dtype)
+    if "position_embd.weight" in g.tensors:
+        weights["position_embd"] = jnp.asarray(
+            g.dequantize("position_embd.weight", np.float32), compute_dtype)
+    for i in range(cfg.n_layer):
+        p = f"blk.{i}."
+        lw = {
+            "attn_norm": _norm(g, p + "attn_output_norm.weight", compute_dtype),
+            "attn_norm_b": jnp.asarray(
+                g.dequantize(p + "attn_output_norm.bias", np.float32),
+                compute_dtype),
+            "ffn_norm": _norm(g, p + "layer_output_norm.weight", compute_dtype),
+            "ffn_norm_b": jnp.asarray(
+                g.dequantize(p + "layer_output_norm.bias", np.float32),
+                compute_dtype),
+        }
+        dense(lw, "wq", p + "attn_q")
+        dense(lw, "wk", p + "attn_k")
+        dense(lw, "wv", p + "attn_v")
+        dense(lw, "wo", p + "attn_output")
+        dense(lw, "w_up", p + "ffn_up")
+        dense(lw, "w_down", p + "ffn_down")
+        if p + "ffn_gate.weight" in g.tensors:  # nomic-bert SwiGLU
+            dense(lw, "w_gate", p + "ffn_gate")
+        weights["layers"].append(lw)
+    size = sum(t.n_bytes for t in g.tensors.values())
+    return LoadedModel(cfg=cfg, tokenizer=tok, weights=weights,
+                       model_size_bytes=size, metadata=dict(g.metadata))
+
+
 def load_model(
     path: str,
     compute_dtype=jnp.float32,
@@ -76,6 +130,8 @@ def load_model(
                 float(x) for x in
                 np.asarray(g.dequantize("rope_freqs.weight", np.float32)))
         tok = Tokenizer.from_gguf_metadata(g.metadata)
+        if not cfg.causal:
+            return _load_encoder(g, cfg, tok, compute_dtype)
         add_one = cfg.arch.startswith("gemma")
 
         qk_perm = None

@@ -799,12 +799,21 @@ class InferenceEngine:
         toks = s.prompt_tokens[s.n_prompt_done : s.n_prompt_done + chunk]
         padded = toks + [0] * (bucket - chunk)
         is_last = s.n_prompt_done + chunk == len(s.prompt_tokens)
-        want_hidden = bool(s.params and s.params.embedding)
+        # pooling follows the model's pooling type (reference SendEmbedding
+        # via llama_get_embeddings_seq, llama_server_context.cc:1042-1058):
+        # mean accumulates across chunks; cls needs only the first chunk;
+        # last needs only the final chunk
+        pool_mode = self.cfg.pooling_type
+        want_hidden = bool(s.params and s.params.embedding) and (
+            pool_mode == "mean"
+            or (pool_mode == "cls" and s.n_prompt_done == 0)
+            or (pool_mode == "last" and is_last)
+        )
 
         t0 = time.time()
         logits, pooled = self.ops.step(
             [padded], [s.id], [True],
-            n_valid=[chunk], collect_hidden=want_hidden,
+            n_valid=[chunk], collect_hidden=pool_mode if want_hidden else False,
         )
         if self._trace:
             log.info("prefill slot=%d bucket=%d chunk=%d last=%s dispatch=%.0fms",
@@ -814,20 +823,24 @@ class InferenceEngine:
         s.cache_tokens.extend(toks)
 
         if want_hidden:
-            # accumulate ON DEVICE; the single D2H pull happens once in
-            # _send_embedding instead of once per 512-token chunk
-            part = pooled[0] * chunk
-            if s.embed_sum is None:
-                s.embed_sum = part
-            else:
-                s.embed_sum = s.embed_sum + part
-            s.embed_count += chunk
+            if pool_mode == "mean":
+                # accumulate ON DEVICE; the single D2H pull happens once in
+                # _send_embedding instead of once per 512-token chunk
+                part = pooled[0] * chunk
+                if s.embed_sum is None:
+                    s.embed_sum = part
+                else:
+                    s.embed_sum = s.embed_sum + part
+                s.embed_count += chunk
+            else:  # cls / last: the one relevant chunk's pooled row
+                s.embed_sum = pooled[0]
+                s.embed_count = 1
 
         if not is_last:
             return None
         s.timings.prompt_ms = (time.time() - s.t_start_prompt) * 1000.0
         s.t_start_gen = time.time()
-        if want_hidden:
+        if s.params and s.params.embedding:
             self._send_embedding(s)
             s.release()
             return None
@@ -1202,7 +1215,9 @@ class InferenceEngine:
         ))
 
     def _send_embedding(self, s: Slot) -> None:
-        """Reference: SendEmbedding (:1026-1070), mean pooling + L2 norm."""
+        """Reference: SendEmbedding (:1026-1070) — pooled per the model's
+        pooling type (mean/cls/last; NONE falls back to last like
+        llama_get_embeddings_ith) + L2 normalize."""
         vec = np.asarray(self.ops.pull(s.embed_sum), np.float64) / max(s.embed_count, 1)
         norm = float(np.linalg.norm(vec))
         if norm > 0:

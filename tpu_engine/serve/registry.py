@@ -172,6 +172,33 @@ class EngineRegistry:
             if n_ctx < min_ctx:
                 n_ctx = min_ctx
 
+        if not lm.cfg.causal:
+            # bidirectional embedding model (bert family — the reference's
+            # nomic-embed flow): dedicated encoder engine, no decode loop
+            from .encoder import EncoderEngine
+
+            engine = EncoderEngine(lm, n_ctx=n_ctx)
+            try:
+                engine.warm_up()
+            except Exception as e:
+                return False, f"warm-up failed: {e}"
+            prompts = ModelPrompts()
+            opts = {
+                "caching_enabled": False,
+                "model_type": "embedding",
+                "embedding": True,
+                "grammar": "",
+                "ctx_len": engine.n_ctx,
+                "n_parallel": 1,
+            }
+            entry = ModelEntry(model_id, engine, lm, prompts, opts)
+            entry.load_body = dict(body)
+            with self._lock:
+                self._models[model_id] = entry
+            log.info("embedding model %s loaded (pooling=%s)",
+                     model_id, lm.cfg.pooling_type)
+            return True, f"Model {model_id} loaded successfully"
+
         engine = InferenceEngine(
             lm,
             n_ctx=n_ctx,

@@ -145,13 +145,26 @@ class Tokenizer:
             eom_id=_id("eom_token_id"),
             unk_id=_id("unknown_token_id"),
             pad_id=_id("padding_token_id"),
-            add_bos=bool(md.get("tokenizer.ggml.add_bos_token", model == "llama")),
-            add_eos=bool(md.get("tokenizer.ggml.add_eos_token", False)),
+            add_bos=bool(md.get("tokenizer.ggml.add_bos_token",
+                                model in ("llama", "bert"))),
+            add_eos=bool(md.get("tokenizer.ggml.add_eos_token",
+                                model == "bert")),
             add_space_prefix=bool(md.get("tokenizer.ggml.add_space_prefix", model == "llama")),
             fim_pre_id=_id("prefix_token_id"),
             fim_suf_id=_id("suffix_token_id"),
             fim_mid_id=_id("middle_token_id"),
         )
+        if model == "bert":
+            # WordPiece wraps with [CLS] ... [SEP] (llama.cpp llm_tokenizer_wpm
+            # uses the cls/sep special ids through the add_bos/add_eos path)
+            cls_id = _id("cls_token_id")
+            sep_id = _id("seperator_token_id")  # llama.cpp's key spelling
+            if tok.bos_id < 0:
+                tok.bos_id = cls_id if cls_id >= 0 else tok._piece_to_id.get("[CLS]", -1)
+            if tok.eos_id < 0:
+                tok.eos_id = sep_id if sep_id >= 0 else tok._piece_to_id.get("[SEP]", -1)
+            if tok.unk_id < 0:
+                tok.unk_id = tok._piece_to_id.get("[UNK]", -1)
         if tok.fim_pre_id < 0:
             for name in ("<fim_prefix>", "<|fim_prefix|>", "<fim-prefix>", "<PRE>"):
                 if name in tok._piece_to_id:
@@ -234,7 +247,66 @@ class Tokenizer:
             return []
         if self.model == "gpt2":
             return self._encode_bpe(text)
+        if self.model == "bert":
+            return self._encode_wpm(text)
         return self._encode_spm(text)
+
+    # WordPiece (bert-family embedding models) ------------------------------
+    def _encode_wpm(self, text: str) -> list[int]:
+        """WordPiece with BERT basic normalization (llm_tokenizer_wpm
+        semantics): lowercase + strip combining accents, split on
+        whitespace / punctuation / CJK, then greedy longest-match with the
+        "##" continuation prefix; an unmatchable word becomes [UNK]."""
+        import unicodedata
+
+        words: list[str] = []
+        cur: list[str] = []
+
+        def flush():
+            if cur:
+                words.append("".join(cur))
+                cur.clear()
+
+        for ch in unicodedata.normalize("NFD", text.lower()):
+            cat = unicodedata.category(ch)
+            if cat == "Mn":  # combining accents stripped
+                continue
+            cp = ord(ch)
+            if ch.isspace() or cat in ("Cc", "Cf"):
+                flush()
+            elif cat.startswith("P") or (
+                33 <= cp <= 47 or 58 <= cp <= 64
+                or 91 <= cp <= 96 or 123 <= cp <= 126
+            ) or (
+                0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+                or 0xF900 <= cp <= 0xFAFF or 0x20000 <= cp <= 0x2A6DF
+            ):
+                flush()
+                words.append(ch)
+            else:
+                cur.append(ch)
+        flush()
+
+        ids: list[int] = []
+        for word in words:
+            i, n = 0, len(word)
+            word_ids: list[int] = []
+            while i < n:
+                j = n
+                tid = None
+                while j > i:
+                    piece = ("##" if i else "") + word[i:j]
+                    tid = self._piece_to_id.get(piece)
+                    if tid is not None:
+                        break
+                    j -= 1
+                if tid is None:
+                    word_ids = [self.unk_id] if self.unk_id >= 0 else []
+                    break
+                word_ids.append(tid)
+                i = j
+            ids.extend(word_ids)
+        return ids
 
     # SentencePiece-style greedy score merges -------------------------------
     def _encode_spm(self, text: str) -> list[int]:

@@ -195,6 +195,72 @@ def hf_llama_to_gguf(
     w.write()
 
 
+def hf_bert_to_gguf(
+    hf_model,
+    out_path: str,
+    ggml_type: GGMLType | str = GGMLType.F32,
+    tokenizer_metadata: dict | None = None,
+    pooling_type: int = 1,  # llama.cpp enum: 1 mean, 2 cls, 3 last
+    name: str = "bert",
+) -> None:
+    """Convert a transformers BertModel to a bert-arch GGUF (llama.cpp's
+    encoder tensor conventions — the reference's embedding-model family,
+    nomic-embed at /root/reference/Makefile:6)."""
+    if isinstance(ggml_type, str):
+        ggml_type = QUANT_LEVEL_ALIASES[ggml_type.lower()]
+    cfg = hf_model.config
+    sd = {k: v.detach().to("cpu").float().numpy()
+          for k, v in hf_model.state_dict().items()}
+    # accept both BertModel ("embeddings...") and wrappers ("bert.embeddings")
+    if any(k.startswith("bert.") for k in sd):
+        sd = {k[5:]: v for k, v in sd.items() if k.startswith("bert.")}
+
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", "bert")
+    w.add("general.name", name)
+    w.add("bert.block_count", int(cfg.num_hidden_layers))
+    w.add("bert.context_length", int(cfg.max_position_embeddings))
+    w.add("bert.embedding_length", int(cfg.hidden_size))
+    w.add("bert.feed_forward_length", int(cfg.intermediate_size))
+    w.add("bert.attention.head_count", int(cfg.num_attention_heads))
+    w.add("bert.attention.layer_norm_epsilon", float(cfg.layer_norm_eps))
+    w.add("bert.pooling_type", int(pooling_type))
+    w.add("bert.vocab_size", int(cfg.vocab_size))
+    w.add("bert.attention.causal", False)
+    if tokenizer_metadata:
+        add_tokenizer_metadata(w, tokenizer_metadata)
+
+    def put(gname, arr, force_f32=False):
+        ty = ggml_type if (not force_f32 and _should_quantize(gname, arr)) else GGMLType.F32
+        w.add_tensor(gname, arr, ty)
+
+    put("token_embd.weight", sd["embeddings.word_embeddings.weight"])
+    put("token_types.weight", sd["embeddings.token_type_embeddings.weight"],
+        force_f32=True)
+    put("position_embd.weight", sd["embeddings.position_embeddings.weight"],
+        force_f32=True)
+    put("token_embd_norm.weight", sd["embeddings.LayerNorm.weight"])
+    put("token_embd_norm.bias", sd["embeddings.LayerNorm.bias"])
+    for i in range(cfg.num_hidden_layers):
+        hp = f"encoder.layer.{i}."
+        gp = f"blk.{i}."
+        for hname, gname in (
+            ("attention.self.query", "attn_q"),
+            ("attention.self.key", "attn_k"),
+            ("attention.self.value", "attn_v"),
+            ("attention.output.dense", "attn_output"),
+            ("intermediate.dense", "ffn_up"),
+            ("output.dense", "ffn_down"),
+        ):
+            put(gp + gname + ".weight", sd[hp + hname + ".weight"])
+            put(gp + gname + ".bias", sd[hp + hname + ".bias"], force_f32=True)
+        put(gp + "attn_output_norm.weight", sd[hp + "attention.output.LayerNorm.weight"])
+        put(gp + "attn_output_norm.bias", sd[hp + "attention.output.LayerNorm.bias"])
+        put(gp + "layer_output_norm.weight", sd[hp + "output.LayerNorm.weight"])
+        put(gp + "layer_output_norm.bias", sd[hp + "output.LayerNorm.bias"])
+    w.write()
+
+
 def requantize_gguf(in_path: str, out_path: str, level: str) -> None:
     """GGUF -> GGUF at a different quant level (llama-quantize analog)."""
     from ..gguf.reader import read_gguf
