@@ -55,7 +55,13 @@ def scan_time(fn, x0, n=N, reps=3):
 def main():
     lm = load_model(PATH)
     w, cfg = lm.weights, lm.cfg
-    l0 = w["layers"][0]
+    lws = w["layers"]
+    if isinstance(lws, dict):  # stacked (scanned) layout: take layer 0
+        from tpu_engine.model.weights import QTensor, layer_slice
+        l0 = {k: (layer_slice(v, 0) if isinstance(v, QTensor) else v[0])
+              for k, v in lws.items()}
+    else:
+        l0 = lws[0]
     E = cfg.n_embd
     print(f"model: L={cfg.n_layer} E={E} V={cfg.n_vocab}; scan N={N}")
 

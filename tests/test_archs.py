@@ -232,8 +232,8 @@ def test_phi3_fused_tensors_on_disk(tmp_path):
     finally:
         g.close()
     lm = load_model(path)
-    assert "wqkv" in lm.weights["layers"][0]
-    assert "w_gateup" in lm.weights["layers"][0]
+    assert "wqkv" in lm.weights["layers"]  # stacked (scanned) layer dict
+    assert "w_gateup" in lm.weights["layers"]
 
 
 def test_gemma2_sliding_window_matches_hf(tmp_path):

@@ -344,5 +344,9 @@ def test_two_prefill_groups_same_iteration(tmp_path):
         for tid in [blocker] + tids:
             _, final = collect(eng, tid)
             assert final.tokens_predicted > 0
+        # the scenario must actually have occurred: >= 2 prefill groups
+        # produced device-chained first tokens within one iteration
+        # (otherwise the test passes vacuously — ADVICE.md round 2)
+        assert eng.max_first_groups_iter >= 2, eng.max_first_groups_iter
     finally:
         eng.shutdown()

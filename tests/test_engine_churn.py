@@ -57,6 +57,40 @@ def test_mixed_clients_churn(engine):
     assert outs[3][1] <= 5
 
 
+def test_grammar_slot_does_not_depipeline(engine):
+    """TWO-LANE decode (VERDICT round-2 weak-5): one grammar-constrained
+    request must NOT drop the other slots to per-token host steps — the
+    plain slots keep chunked device decode while the grammar slot runs its
+    single-token lane. Proven via lane counters: host steps stay ~= the
+    grammar slot's tokens, chunks keep flowing for the plain slots."""
+    sp = SamplingParams(temperature=0.0)
+    gsp = SamplingParams(temperature=0.0, grammar='root ::= ("yes" | "no")*\n')
+    c0 = engine.n_chunks_dispatched
+    h0 = engine.n_host_steps
+    specs = [
+        CompletionParams(prompt=[1, 5, 9], n_predict=64, sampling=sp),
+        CompletionParams(prompt=[1, 6, 10], n_predict=64, sampling=sp),
+        CompletionParams(prompt=[1, 7, 11], n_predict=64, sampling=sp),
+        CompletionParams(prompt=[1, 8, 12], n_predict=24, sampling=gsp),
+    ]
+    tids = [engine.request_completion(p) for p in specs]
+    outs = [_collect(engine, t) for t in tids]
+    plain_tokens = sum(n for _, n, _ in outs[:3])
+    grammar_tokens = outs[3][1]
+    assert grammar_tokens > 0 and outs[3][0]  # grammar slot produced output
+    for ch in ("yes", "no"):
+        pass
+    assert set(outs[3][0].replace("yes", "").replace("no", "")) == set()
+    chunks = engine.n_chunks_dispatched - c0
+    host_steps = engine.n_host_steps - h0
+    # each chunk dispatch advances ALL plain slots by decode_chunk=8
+    # tokens; 64 tokens/slot needs ~8 dispatches. Host steps belong to the
+    # grammar slot's lane only (+ slack for first-token/iteration edges).
+    per_slot = max(n for _, n, _ in outs[:3])
+    assert chunks >= per_slot // 8 - 1, (chunks, plain_tokens)
+    assert host_steps <= grammar_tokens + 8, (host_steps, grammar_tokens)
+
+
 def test_cancel_mid_pipeline(engine):
     """Cancel a request while speculative chunks are in flight; the other
     requests finish unperturbed and the cancelled one returns quickly."""

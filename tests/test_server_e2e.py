@@ -217,6 +217,72 @@ def test_full_cortex_flow(server):
     assert status == 200
 
 
+def test_stream_logprobs_and_stopinferencing(server):
+    """Streamed partials carry per-token logprobs when requested (reference
+    SendPartialResponse completion_probabilities,
+    llama_server_context.cc:933-949), finals carry timings; and
+    /stopinferencing force-stops a stream mid-flight (reference
+    llama_engine.cc:506-508,1278-1298)."""
+    base, model_path = server
+    status, resp = post(base, "/loadmodel", {
+        "llama_model_path": model_path, "model": "streamy",
+        "ctx_len": 256, "n_parallel": 2,
+    })
+    assert status == 200, resp
+
+    # streamed logprobs
+    chunks = sse_chat(base, {
+        "model": "streamy", "stream": True, "max_tokens": 6,
+        "temperature": 0, "logprobs": True, "top_logprobs": 2,
+        "messages": [{"role": "user", "content": "count"}],
+        "stream_options": {"include_usage": True},
+    })
+    lp_chunks = [c for c in chunks
+                 if c["choices"] and c["choices"][0].get("logprobs")]
+    assert lp_chunks, "no streamed chunk carried logprobs"
+    ent = lp_chunks[0]["choices"][0]["logprobs"]["content"][0]
+    assert len(ent["top_logprobs"]) >= 2 and isinstance(ent["logprob"], float)
+    assert ent["bytes"] == list(ent["token"].encode("utf-8"))
+    n_lp = sum(len(c["choices"][0]["logprobs"]["content"]) for c in lp_chunks)
+    usage = [c for c in chunks if c.get("usage")][-1]["usage"]
+    assert n_lp == usage["completion_tokens"]
+    fin = [c for c in chunks if c["choices"] and c["choices"][0]["finish_reason"]]
+    assert fin and fin[-1]["timings"]["predicted_n"] == usage["completion_tokens"]
+
+    # /stopinferencing mid-stream: open the stream, read a chunk, stop
+    req = urllib.request.Request(
+        base + "/v1/chat/completions",
+        data=json.dumps({
+            "model": "streamy", "stream": True, "max_tokens": 200,
+            "temperature": 0,
+            "messages": [{"role": "user", "content": "go"}],
+        }).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    n_content = 0
+    t0 = time.time()
+    with urllib.request.urlopen(req, timeout=300) as r:
+        stopped = False
+        for line in r:
+            line = line.strip()
+            if not line.startswith(b"data: "):
+                continue
+            payload = line[len(b"data: "):]
+            if payload == b"[DONE]":
+                break
+            c = json.loads(payload)
+            if c.get("choices") and c["choices"][0]["delta"].get("content"):
+                n_content += 1
+            if n_content == 2 and not stopped:
+                stopped = True
+                status, _ = post(base, "/stopinferencing", {"model": "streamy"})
+                assert status == 200
+    assert stopped and n_content < 150, n_content
+    assert time.time() - t0 < 120
+
+    status, _ = post(base, "/unloadmodel", {"model": "streamy"})
+    assert status == 200
+
+
 def test_load_errors(server):
     base, model_path = server
     status, resp = post(base, "/loadmodel", {"llama_model_path": "/nope.gguf",

@@ -78,6 +78,6 @@ def test_loader_sharder_hook(tiny, tmp_path):
                     hidden_size=256, intermediate_size=256)
     mesh = make_mesh(n_data=1, n_model=4)
     lm = load_model(path, sharder=make_sharder(mesh))
-    wq = lm.weights["layers"][0]["wq"]
+    wq = lm.weights["layers"]["wq"]  # stacked (scanned) layer dict
     # verify the placement is actually sharded over 4 devices
     assert len(wq.qs.sharding.device_set) == 4

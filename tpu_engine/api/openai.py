@@ -254,21 +254,32 @@ def chat_completion_response(results: list, meta: dict) -> dict:
 
 
 def chat_chunk(rid: str, model: str, delta_content: str | None,
-               finish_reason: str | None, role: bool = False) -> dict:
-    """One SSE chunk (reference :958-1009)."""
+               finish_reason: str | None, role: bool = False,
+               probs: list | None = None,
+               timings: dict | None = None) -> dict:
+    """One SSE chunk (reference :958-1009). When the request asked for
+    logprobs, partial results carry the delta's per-token probabilities
+    (reference SendPartialResponse completion_probabilities,
+    llama_server_context.cc:933-949) in the OpenAI streaming shape."""
     delta: dict = {}
     if role:
         delta["role"] = "assistant"
     if delta_content is not None:
         delta["content"] = delta_content
-    return {
+    choice: dict = {"index": 0, "delta": delta, "finish_reason": finish_reason}
+    if probs:
+        choice["logprobs"] = _logprobs_content(probs)
+    out = {
         "id": rid,
         "object": "chat.completion.chunk",
         "created": int(time.time()),
         "model": model,
         "system_fingerprint": "fp_tpu_engine",
-        "choices": [{"index": 0, "delta": delta, "finish_reason": finish_reason}],
+        "choices": [choice],
     }
+    if timings:
+        out["timings"] = timings
+    return out
 
 
 def usage_chunk(rid: str, model: str, prompt_tokens: int, completion_tokens: int) -> dict:

@@ -266,16 +266,22 @@ class Handler(BaseHTTPRequestHandler):
                 break
             prompt_tokens = r.tokens_evaluated
             completion_tokens = r.tokens_predicted
+            want_probs = meta.get("logprobs_requested")
             if r.stop:
                 if r.text:
-                    self._sse(json.dumps(chat_chunk(rid, model, r.text, None)))
+                    self._sse(json.dumps(chat_chunk(
+                        rid, model, r.text, None,
+                        probs=r.probs if want_probs else None)))
                 finish = "stop" if r.stop_reason.value in ("eos", "word") else "length"
-                self._sse(json.dumps(chat_chunk(rid, model, None, finish)))
+                self._sse(json.dumps(chat_chunk(rid, model, None, finish,
+                                                timings=r.timings)))
                 if meta["include_usage"]:
                     self._sse(json.dumps(usage_chunk(rid, model, prompt_tokens,
                                                      completion_tokens)))
                 break
-            alive = self._sse(json.dumps(chat_chunk(rid, model, r.text, None)))
+            alive = self._sse(json.dumps(chat_chunk(
+                rid, model, r.text, None,
+                probs=r.probs if want_probs else None)))
             if not alive:
                 # client disconnected -> force-stop (reference server.cc:136-158)
                 engine.request_cancel(tid)

@@ -48,24 +48,29 @@ def _divisible(dim: int, parts: int) -> bool:
     return parts > 0 and dim % parts == 0
 
 
-def shard_qtensor(qt: QTensor, mesh: Mesh, role: str) -> QTensor:
+def shard_qtensor(qt: QTensor, mesh: Mesh, role: str,
+                  stacked: bool = False) -> QTensor:
     """Place a QTensor with the TP sharding for its role; falls back to
-    replication when a dim doesn't divide the mesh axis."""
+    replication when a dim doesn't divide the mesh axis. stacked: arrays
+    carry a leading (replicated) layer axis."""
     n_model = mesh.shape["model"]
     n, k = qt.shape
+    lead = (None,) if stacked else ()
 
     if role in _COL_PARALLEL or role in _VOCAB_PARALLEL:
-        spec = P("model", None) if _divisible(n, n_model) else P(None, None)
+        spec = (P(*lead, "model", None) if _divisible(n, n_model)
+                else P(*lead, None, None))
     elif role in _ROW_PARALLEL:
         # every K-derived array (packed qs, per-group scale/bias) must divide
         group_ok = qt.kind == "dense" or (
             _divisible(k, n_model)
-            and _divisible(qt.qs.shape[1], n_model)
-            and _divisible(qt.scale.shape[1], n_model)
+            and _divisible(qt.qs.shape[-1], n_model)
+            and _divisible(qt.scale.shape[-1], n_model)
         )
-        spec = P(None, "model") if group_ok else P(None, None)
+        spec = (P(*lead, None, "model") if group_ok
+                else P(*lead, None, None))
     else:
-        spec = P(None, None)
+        spec = P(*lead, None, None)
 
     def put(arr, s):
         if arr is None:
@@ -76,8 +81,8 @@ def shard_qtensor(qt: QTensor, mesh: Mesh, role: str) -> QTensor:
     # but group-ranges in scale/bias — inconsistent partitions of the same
     # logical axis. Keep the small scale/bias arrays replicated there.
     sc_spec = spec
-    if qt.perm and spec == P(None, "model"):
-        sc_spec = P(None, None)
+    if qt.perm and spec == P(*lead, None, "model"):
+        sc_spec = P(*lead, None, None)
     return QTensor(
         qs=put(qt.qs, spec),
         scale=put(qt.scale, sc_spec) if qt.scale is not None else None,
@@ -108,18 +113,27 @@ def shard_weights(weights: dict, mesh: Mesh) -> dict:
         if weights["output"] is weights["token_embd"]
         else shard_qtensor(weights["output"], mesh, "output")
     )
-    for lw in weights["layers"]:
+    def shard_layer(lw, stacked: bool):
         slw = {}
         for name, t in lw.items():
             if isinstance(t, QTensor):
-                slw[name] = shard_qtensor(t, mesh, name)
+                slw[name] = shard_qtensor(t, mesh, name, stacked=stacked)
             elif name in ("bq", "bk", "bv"):
                 n_model = mesh.shape["model"]
-                spec = P("model") if t.shape[0] % n_model == 0 else P(None)
+                ax = t.shape[-1] if stacked else t.shape[0]
+                lead = (None,) if stacked else ()
+                spec = (P(*lead, "model") if ax % n_model == 0
+                        else P(*lead, None))
                 slw[name] = jax.device_put(t, NamedSharding(mesh, spec))
             else:
                 slw[name] = put_repl(t)
-        out["layers"].append(slw)
+        return slw
+
+    lws = weights["layers"]
+    if isinstance(lws, dict):  # stacked (scanned) layout
+        out["layers"] = shard_layer(lws, True)
+    else:
+        out["layers"] = [shard_layer(lw, False) for lw in lws]
     return out
 
 

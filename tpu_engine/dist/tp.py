@@ -123,7 +123,8 @@ def validate_tp(cfg, weights: dict, p: int) -> None:
         raise ValueError(
             f"tensor_parallel={p} requires n_head ({cfg.n_head}) and "
             f"n_kv_head ({cfg.n_kv_head}) divisible by it")
-    lw0 = weights["layers"][0]
+    lws = weights["layers"]
+    lw0 = lws if isinstance(lws, dict) else lws[0]
     if "wqkv" in lw0 or "w_gateup" in lw0:
         raise ValueError("TP expects unfused projections; load the model "
                          "with sharder=TPSharder(mesh)")
@@ -149,20 +150,26 @@ def _weight_specs(weights: dict, p: int) -> dict:
         "token_embd": repl2,
         "output_norm": repl1,
         "output": repl2 if tied or out_qt.shape[0] % p else col,
-        "layers": [],
     }
-    for lw in weights["layers"]:
-        d = {}
-        for name, t in lw.items():
-            if name in _COL:
-                d[name] = col
-            elif name in _ROW:
-                d[name] = row
-            elif name in ("bq", "bk", "bv"):
-                d[name] = P(AXIS)
-            else:  # norms, bqkv-less extras
-                d[name] = repl1
-        specs["layers"].append(d)
+
+    def layer_spec(name, stacked: bool):
+        # stacked layout carries a leading (replicated) layer axis
+        lead = (None,) if stacked else ()
+        if name in _COL:
+            return P(*lead, AXIS, None)
+        if name in _ROW:
+            return P(*lead, None, AXIS)
+        if name in ("bq", "bk", "bv"):
+            return P(*lead, AXIS)
+        return P(*lead, None)  # norms, bqkv-less extras
+
+    lws = weights["layers"]
+    if isinstance(lws, dict):  # stacked (scanned) layers
+        specs["layers"] = {name: layer_spec(name, True) for name in lws}
+    else:
+        specs["layers"] = [
+            {name: layer_spec(name, False) for name in lw} for lw in lws
+        ]
     return specs
 
 

@@ -328,7 +328,13 @@ class _VocabTrie:
         return root
 
 
-_TRIE_CACHE: dict[int, _VocabTrie] = {}
+# Tokenizer -> vocab trie, keyed by the tokenizer OBJECT via a weak
+# reference: entries die with their tokenizer (load/unload cycles don't
+# leak vocab-sized tries) and a recycled id() can never alias a different
+# tokenizer's trie.
+import weakref
+
+_TRIE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 class GrammarMatcher:
@@ -336,10 +342,17 @@ class GrammarMatcher:
         self.bodies = bodies
         self.root_id = root_id
         self.tok = tok
-        key = id(tok)
-        if key not in _TRIE_CACHE:
-            _TRIE_CACHE[key] = _VocabTrie.build(tok)
-        self.trie = _TRIE_CACHE[key]
+        try:
+            trie = _TRIE_CACHE.get(tok)
+        except TypeError:
+            trie = None  # unhashable tokenizer stand-in: no caching
+        if trie is None:
+            trie = _VocabTrie.build(tok)
+            try:
+                _TRIE_CACHE[tok] = trie
+            except TypeError:
+                pass
+        self.trie = trie
         self.reset()
 
     def reset(self) -> None:

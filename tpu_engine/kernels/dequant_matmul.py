@@ -40,9 +40,39 @@ import os as _os
 
 TILE_AREA_BUDGET = int(_os.environ.get("TPU_ENGINE_QMM_AREA",
                                        str(512 * 1024)))  # packed elems/tile
+# full VMEM-footprint ceiling per grid step (bytes): double-buffered input
+# blocks + out/acc + dequant intermediates must fit Mosaic's 16 MB scoped
+# stack. The activation blocks scale with the ROW count, so prefill shapes
+# (rows = slots * bucket) need smaller tiles than 8-row decode.
+VMEM_BYTE_BUDGET = int(_os.environ.get("TPU_ENGINE_QMM_VMEM",
+                                       str(14 * 1024 * 1024)))
 
 
-def _pick_tiles(n: int, plane_rows: int, ng: int):
+def _tile_bytes(tn: int, tk: int, splits: int, tm: int, ng: int,
+                kind: str, has_bias: bool) -> int:
+    """VMEM bytes one grid step needs (conservative model, matched against
+    Mosaic's scoped-stack accounting): Pallas double-buffers every input
+    block; the dequant intermediates live per sub-tile. tm = activation
+    rows per row-block."""
+    sub = tk // splits
+    if kind == "nib4":
+        x_blocks = 2 * tm * tk * 2             # xl + xh bf16
+        inter = tn * sub * (4 + 2 * (4 + 2))   # q32 + (lo,hi) f32+bf16
+    else:
+        x_blocks = tm * tk * 2                 # x bf16
+        inter = tn * sub * (4 + 4 + 2)         # q32 + w f32 + bf16
+    qs = tn * tk
+    scales = tn * ng * 4 * (2 if has_bias else 1)
+    xsum = tm * ng * 4 if has_bias else 0
+    inputs = (x_blocks + qs + scales + xsum) * 2  # double-buffered
+    out_acc = 2 * tm * tn * 4
+    # bias-dot bf16x3 splits of xsum + b0
+    bias_tmp = (2 * tm * ng * 2 + 2 * tn * ng * 2) if has_bias else 0
+    return inputs + out_acc + inter + bias_tmp
+
+
+def _pick_tiles(n: int, plane_rows: int, ng: int, mrows: int = 8,
+                kind: str = "nib4", has_bias: bool = True):
     """Choose (tn, tk, splits): tk = m*ng spans m full group-cycles, with m
     dividing the packed plane rows and tk a multiple of 128 lanes. Prefer
     the largest tn whose largest admissible tk reaches 1024; otherwise the
@@ -50,35 +80,55 @@ def _pick_tiles(n: int, plane_rows: int, ng: int):
     sub-tile spans m/splits full group cycles) so tiles up to
     splits*TILE_AREA_BUDGET fit the VMEM stack — e.g. Q6_K's group=16
     forces long tk, and without splitting tn would drop to 256 (measured
-    241 GB/s vs ~500 for the group-32 formats on v5e)."""
+    241 GB/s vs ~500 for the group-32 formats on v5e). Every candidate must
+    also pass the FULL byte model (_tile_bytes) — the activation blocks
+    scale with the row count, so the grid gains a ROW-BLOCK dimension (tm
+    rows per step) and big prefill batches pick the largest tm that still
+    fits instead of hitting a compile-time scoped-vmem OOM.
+
+    Returns (tm, tn, tk, splits) or None."""
     tks = [m * ng for m in range(1, plane_rows + 1)
            if plane_rows % m == 0 and (m * ng) % 128 == 0]
     if not tks:
         tks = [plane_rows * ng]  # single tile spanning the whole plane
-    best = None
 
-    def splits_for(tn, tk):
-        m = max(tk // ng, 1)
-        for s_ in (1, 2, 4):
-            if tn * tk <= s_ * TILE_AREA_BUDGET and m % s_ == 0:
-                return s_
-        return None
+    def pick_for_tm(tm):
+        best = None
 
-    for tn in (512, 256, 128):
-        if n % tn:
+        def splits_for(tn, tk):
+            m = max(tk // ng, 1)
+            for s_ in (1, 2, 4, 8):
+                if (tn * tk <= s_ * TILE_AREA_BUDGET and m % s_ == 0
+                        and _tile_bytes(tn, tk, s_, tm, ng, kind, has_bias)
+                        <= VMEM_BYTE_BUDGET):
+                    return s_
+            return None
+
+        for tn in (512, 256, 128):
+            if n % tn:
+                continue
+            fit = [(tk, splits_for(tn, tk)) for tk in tks]
+            fit = [(tk, s_) for tk, s_ in fit if s_ is not None]
+            if not fit:
+                continue
+            tk, s_ = max(fit)
+            if best is None:
+                best = (tn, tk, s_)
+            elif tk >= 1024 and best[1] < 1024:
+                best = (tn, tk, s_)
+            elif tk > best[1] and best[1] < 1024:
+                best = (tn, tk, s_)
+        return best
+
+    # largest row-block that still admits a k-tiling (rows are padded to a
+    # multiple of 8 by the caller)
+    for tm in (256, 128, 64, 32, 16, 8):
+        if mrows % tm or tm > mrows:
             continue
-        fit = [(tk, splits_for(tn, tk)) for tk in tks]
-        fit = [(tk, s_) for tk, s_ in fit if s_ is not None]
-        if not fit:
-            continue
-        tk, s_ = max(fit)
-        if best is None:
-            best = (tn, tk, s_)
-        elif tk >= 1024 and best[1] < 1024:
-            best = (tn, tk, s_)
-        elif tk > best[1] and best[1] < 1024:
-            best = (tn, tk, s_)
-    return best
+        best = pick_for_tm(tm)
+        if best is not None:
+            return (tm, *best)
+    return None
 
 
 def _expand_scales(sc_ref, b_ref, packed_gpb: int, packed_s: int,
@@ -90,14 +140,17 @@ def _expand_scales(sc_ref, b_ref, packed_gpb: int, packed_s: int,
 
     With scratch refs, the expansion runs ONCE per n-tile (k_step == 0) and
     later k grid steps reuse the cached f32 scales — the steady-state
-    per-step work is then identical to the flat-scale path."""
+    per-step work is then identical to the flat-scale path.
+
+    Weight-side refs carry a leading block dim of 1 (stacked-layer
+    selection by the index maps)."""
     if not packed_gpb:
-        return sc_ref[:], (b_ref[:] if b_ref is not None else None)
+        return sc_ref[0], (b_ref[0] if b_ref is not None else None)
 
     def expand():
-        dd = sc_ref[:].astype(jnp.float32)      # [tn, S*ns]
+        dd = sc_ref[0].astype(jnp.float32)      # [tn, S*ns]
         # Mosaic has no direct 8-bit -> f32 cast: go through i32
-        sub = b_ref[:].astype(jnp.int32).astype(jnp.float32)  # [tn, S*ng]
+        sub = b_ref[0].astype(jnp.int32).astype(jnp.float32)  # [tn, S*ng]
         ns = dd.shape[1] // packed_s
         ngrp = sub.shape[1] // packed_s
         # groups are stored J-MAJOR (g' = j*ns + s, device_format.py), so
@@ -149,10 +202,15 @@ def _bias_dot(acc_ref, xs_ref, b0, k, kc_tiles: int):
         acc_ref[:] += acc
 
 
-def _nib4_kernel(xl_ref, xh_ref, qs_ref, sc_ref, b_ref, xs_ref, out_ref,
-                 acc_ref, *scratch, m: int, n_k: int, splits: int = 1,
-                 packed_gpb: int = 0, packed_s: int = 1, kc_tiles: int = 1):
-    k = pl.program_id(1)
+def _nib4_kernel(li_ref, xl_ref, xh_ref, qs_ref, sc_ref, b_ref, xs_ref,
+                 out_ref, acc_ref, *scratch, m: int, n_k: int,
+                 splits: int = 1, packed_gpb: int = 0, packed_s: int = 1,
+                 kc_tiles: int = 1):
+    # li_ref: scalar-prefetch layer index — the weight blocks were selected
+    # by the index maps (stacked [L, ...] arrays under the layer-scanned
+    # forward); their refs carry a leading block dim of 1.
+    del li_ref
+    k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
@@ -160,7 +218,7 @@ def _nib4_kernel(xl_ref, xh_ref, qs_ref, sc_ref, b_ref, xs_ref, out_ref,
 
     dims = (((1,), (1,)), ((), ()))
     ms = m // splits
-    sub = qs_ref.shape[1] // splits  # = ms*ng columns per sub-tile
+    sub = qs_ref.shape[2] // splits  # = ms*ng columns per sub-tile
     sc0, b0 = _expand_scales(
         sc_ref, b_ref, packed_gpb, packed_s,
         sc_scratch=scratch[0] if scratch else None,
@@ -176,7 +234,7 @@ def _nib4_kernel(xl_ref, xh_ref, qs_ref, sc_ref, b_ref, xs_ref, out_ref,
     # 16 MB stack on 512-row prefill buckets).
     for h in range(splits):
         # bit ops in i32: Mosaic has no u8 vector shifts (arith.shrui on i8)
-        q32 = qs_ref[:, h * sub:(h + 1) * sub].astype(jnp.int32)
+        q32 = qs_ref[0, :, h * sub:(h + 1) * sub].astype(jnp.int32)
         sc = pltpu.repeat(sc0, ms, axis=1) if ms > 1 else sc0
         lo = (q32 & 0x0F).astype(jnp.float32) * sc
         hi = (q32 >> 4).astype(jnp.float32) * sc
@@ -194,17 +252,18 @@ def _nib4_kernel(xl_ref, xh_ref, qs_ref, sc_ref, b_ref, xs_ref, out_ref,
         out_ref[:] = acc_ref[:]
 
 
-def _i8_kernel(x_ref, qs_ref, sc_ref, b_ref, xs_ref, out_ref, acc_ref,
-               *scratch, m: int, n_k: int, splits: int = 1,
+def _i8_kernel(li_ref, x_ref, qs_ref, sc_ref, b_ref, xs_ref, out_ref,
+               acc_ref, *scratch, m: int, n_k: int, splits: int = 1,
                packed_gpb: int = 0, packed_s: int = 1, kc_tiles: int = 1):
-    k = pl.program_id(1)
+    del li_ref
+    k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     ms = m // splits
-    sub = qs_ref.shape[1] // splits
+    sub = qs_ref.shape[2] // splits
     sc0, b0 = _expand_scales(
         sc_ref, b_ref, packed_gpb, packed_s,
         sc_scratch=scratch[0] if scratch else None,
@@ -213,7 +272,7 @@ def _i8_kernel(x_ref, qs_ref, sc_ref, b_ref, xs_ref, out_ref, acc_ref,
         _bias_dot(acc_ref, xs_ref, b0, k, kc_tiles)
     for h in range(splits):
         sc = pltpu.repeat(sc0, ms, axis=1) if ms > 1 else sc0
-        w = qs_ref[:, h * sub:(h + 1) * sub].astype(jnp.int32).astype(
+        w = qs_ref[0, :, h * sub:(h + 1) * sub].astype(jnp.int32).astype(
             jnp.float32) * sc
         acc_ref[:] += jax.lax.dot_general(
             x_ref[:, h * sub:(h + 1) * sub], w.astype(jnp.bfloat16),
@@ -230,16 +289,29 @@ def _i8_kernel(x_ref, qs_ref, sc_ref, b_ref, xs_ref, out_ref, acc_ref,
     jax.jit, static_argnames=("kind", "group", "n", "k", "shards",
                               "packed_gpb", "packed_s", "interpret")
 )
-def _qmm_2d(x, qs, scale, bias, *, kind: str, group: int, n: int, k: int,
-            shards: int = 1, packed_gpb: int = 0, packed_s: int = 1,
+def _qmm_2d(x, qs, scale, bias, li=None, *, kind: str, group: int, n: int,
+            k: int, shards: int = 1, packed_gpb: int = 0, packed_s: int = 1,
             interpret: bool = False):
     """x [M, K] (natural order) -> [M, N] f32, or None if untileable.
 
     shards: perm_shards of the weight layout — the group-transpose was
     applied per K-chunk (TP row-parallel layout, quant/device_format.py).
     k-tiles never straddle chunk boundaries; the scale tile follows the
-    chunk's group cycle."""
+    chunk's group cycle.
+
+    li: layer index selecting the layer slab of STACKED [L, N, Kp] weight
+    arrays (the layer-scanned forward, model/llama.py). It rides as a
+    scalar-prefetch operand and the index maps pick the slab — the stacked
+    weights are NEVER sliced in XLA (a dynamic-slice there materializes an
+    HBM copy of every weight each step; measured +5 ms on 7B decode).
+    Unstacked weights get a free leading-1 reshape and li=0."""
     mrows = x.shape[0]
+    if qs.ndim == 2:  # unstacked: unify on the [L=1, ...] layout
+        qs = qs.reshape(1, *qs.shape)
+        scale = scale.reshape(1, *scale.shape) if scale is not None else None
+        bias = bias.reshape(1, *bias.shape) if bias is not None else None
+    li_arr = (jnp.zeros((1,), jnp.int32) if li is None
+              else jnp.asarray(li, jnp.int32).reshape(1))
     ng = (k // shards) // group  # groups per chunk (== K/G when shards=1)
     x16 = x.astype(jnp.bfloat16)
     if packed_gpb:
@@ -255,23 +327,28 @@ def _qmm_2d(x, qs, scale, bias, *, kind: str, group: int, n: int, k: int,
         xg = x16.reshape(mrows, shards, ng, group).swapaxes(2, 3)  # [M,C,G,ng]
 
     plane = group // 2 if kind == "nib4" else group
-    tiles = _pick_tiles(n, plane, ng)
+    has_bias_est = (packed_s == 2) if packed_gpb else (bias is not None)
+    tiles = _pick_tiles(n, plane, ng, mrows=mrows, kind=kind,
+                        has_bias=has_bias_est)
     if tiles is None:
         return None
-    tn, _tk, _splits = tiles
+    tm, tn, _tk, _splits = tiles
+    n_r = mrows // tm  # row-block grid dimension (1 for decode shapes)
 
     def sc_spec(tkb):
-        # scale [N, ng*shards]: one full chunk group cycle per k-tile; the
-        # tile's chunk index selects which ng-column block of scales
+        # scale [L, N, ng*shards]: one full chunk group cycle per k-tile;
+        # the tile's chunk index selects which ng-column block of scales
         kc_tiles = max((k // shards) // (2 if kind == "nib4" else 1) // tkb, 1)
         return pl.BlockSpec(
-            (tn, ng), lambda i, kk: (i, kk // kc_tiles), memory_space=pltpu.VMEM
+            (1, tn, ng), lambda r, i, kk, li: (li[0], i, kk // kc_tiles),
+            memory_space=pltpu.VMEM
         )
 
     def packed_spec(arr):
         # packed scales/subs are tiny: the n-tile's full row slab, constant
         # over the k grid (shards == 1 for packed tensors)
-        return pl.BlockSpec((tn, arr.shape[1]), lambda i, kk: (i, 0),
+        return pl.BlockSpec((1, tn, arr.shape[2]),
+                            lambda r, i, kk, li: (li[0], i, 0),
                             memory_space=pltpu.VMEM)
 
     # does the weight carry a per-group bias the kernel must fold in?
@@ -285,7 +362,7 @@ def _qmm_2d(x, qs, scale, bias, *, kind: str, group: int, n: int, k: int,
         xsum = xg.astype(jnp.float32).sum(axis=2).reshape(mrows, -1)
 
     def xs_spec(kc_tiles):
-        return pl.BlockSpec((mrows, ng), lambda i, kk: (0, kk // kc_tiles),
+        return pl.BlockSpec((tm, ng), lambda r, i, kk, li: (r, kk // kc_tiles),
                             memory_space=pltpu.VMEM)
 
     if kind == "nib4":
@@ -296,11 +373,12 @@ def _qmm_2d(x, qs, scale, bias, *, kind: str, group: int, n: int, k: int,
         kc_tiles = max((k // shards) // 2 // tkb, 1)
         xl = xg[:, :, 0::2, :].reshape(mrows, k // 2)
         xh = xg[:, :, 1::2, :].reshape(mrows, k // 2)
-        grid = (n // tn, n_k)
+        grid = (n_r, n // tn, n_k)
         in_specs = [
-            pl.BlockSpec((mrows, tkb), lambda i, kk: (0, kk), memory_space=pltpu.VMEM),
-            pl.BlockSpec((mrows, tkb), lambda i, kk: (0, kk), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, tkb), lambda i, kk: (i, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, tkb), lambda r, i, kk, li: (r, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, tkb), lambda r, i, kk, li: (r, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, tkb), lambda r, i, kk, li: (li[0], i, kk),
+                         memory_space=pltpu.VMEM),
             packed_spec(scale) if packed_gpb else sc_spec(tkb),
         ]
         args = [xl, xh, qs, scale]
@@ -315,13 +393,13 @@ def _qmm_2d(x, qs, scale, bias, *, kind: str, group: int, n: int, k: int,
                 kernel = functools.partial(_nib4_kernel, **kw)
             else:  # packed S=1: sub-scales present, no bias row
                 kernel = functools.partial(
-                    lambda xl, xh, qs, sc, b, out, acc, *scr, **kw2:
-                    _nib4_kernel(xl, xh, qs, sc, b, None, out, acc, *scr,
+                    lambda li, xl, xh, qs, sc, b, out, acc, *scr, **kw2:
+                    _nib4_kernel(li, xl, xh, qs, sc, b, None, out, acc, *scr,
                                  **kw2), **kw)
         else:
             kernel = functools.partial(
-                lambda xl, xh, qs, sc, out, acc, *scr, **kw2:
-                _nib4_kernel(xl, xh, qs, sc, None, None, out, acc, *scr,
+                lambda li, xl, xh, qs, sc, out, acc, *scr, **kw2:
+                _nib4_kernel(li, xl, xh, qs, sc, None, None, out, acc, *scr,
                              **kw2), **kw)
     else:  # i8
         tk = _tk
@@ -329,10 +407,11 @@ def _qmm_2d(x, qs, scale, bias, *, kind: str, group: int, n: int, k: int,
         n_k = k // tk
         kc_tiles = max((k // shards) // tk, 1)
         xp = xg.reshape(mrows, k)  # flat col = c*kc + r*ng + g (chunk-major)
-        grid = (n // tn, n_k)
+        grid = (n_r, n // tn, n_k)
         in_specs = [
-            pl.BlockSpec((mrows, tk), lambda i, kk: (0, kk), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, tk), lambda i, kk: (i, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, tk), lambda r, i, kk, li: (r, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, tk), lambda r, i, kk, li: (li[0], i, kk),
+                         memory_space=pltpu.VMEM),
             packed_spec(scale) if packed_gpb else sc_spec(tk),
         ]
         args = [xp, qs, scale]
@@ -347,49 +426,58 @@ def _qmm_2d(x, qs, scale, bias, *, kind: str, group: int, n: int, k: int,
                 kernel = functools.partial(_i8_kernel, **kw)
             else:  # packed S=1: sub-scales present, no bias row
                 kernel = functools.partial(
-                    lambda x, qs, sc, b, out, acc, *scr, **kw2:
-                    _i8_kernel(x, qs, sc, b, None, out, acc, *scr, **kw2),
+                    lambda li, x, qs, sc, b, out, acc, *scr, **kw2:
+                    _i8_kernel(li, x, qs, sc, b, None, out, acc, *scr, **kw2),
                     **kw)
         else:
             kernel = functools.partial(
-                lambda x, qs, sc, out, acc, *scr, **kw2:
-                _i8_kernel(x, qs, sc, None, None, out, acc, *scr, **kw2),
+                lambda li, x, qs, sc, out, acc, *scr, **kw2:
+                _i8_kernel(li, x, qs, sc, None, None, out, acc, *scr, **kw2),
                 **kw)
 
-    return pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # the layer index (stacked weights)
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((mrows, tn), lambda i, kk: (0, i),
+        out_specs=pl.BlockSpec((tm, tn), lambda r, i, kk, li: (r, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((mrows, n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((mrows, tn), jnp.float32)]
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)]
         + ([pltpu.VMEM((tn, ng), jnp.float32)] * (1 + (packed_s == 2))
            if packed_gpb else []),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mrows, n), jnp.float32),
         interpret=interpret,
-        # n-tiles are independent; the k axis carries the accumulator.
-        # allow_input_fusion on the activation operands folds the
-        # group-transpose relayout (reshape/swapaxes/strided-slice chains)
-        # into the kernel's input DMA instead of separate XLA copies.
+        # row-blocks and n-tiles are independent; the k axis carries the
+        # accumulator. allow_input_fusion on the activation operands folds
+        # the group-transpose relayout (reshape/swapaxes/strided-slice
+        # chains) into the kernel's input DMA instead of separate XLA
+        # copies. The stacked weights are indexed (not sliced) via the
+        # scalar-prefetch layer index, so they never need fusion.
         compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
             allow_input_fusion=[kind == "nib4", kind == "nib4"]
             + [False] * (len(in_specs) - 2) if kind == "nib4"
             else [True] + [False] * (len(in_specs) - 1)),
-    )(*args)
+    )(li_arr, *args)
 
 
 _INTERPRET = False
 
 
-def pallas_qmatmul(x: jax.Array, qt: W.QTensor) -> jax.Array:
+def pallas_qmatmul(x: jax.Array, qt: W.QTensor, li=None) -> jax.Array:
     """Drop-in for weights.qmatmul on quantized tensors.
 
     Shapes come from the ARRAYS, not qt.shape metadata, so shard_map-local
     slices of a TP-sharded tensor (dist/tp.py) work: a K-sharded
-    perm_shards=p tensor arrives here as one self-permuted chunk."""
-    n = qt.qs.shape[0]
-    k = qt.qs.shape[1] * (2 if qt.kind == "nib4" else 1)
+    perm_shards=p tensor arrives here as one self-permuted chunk.
+
+    li: layer index into STACKED [L, N, Kp] arrays (layer-scanned forward);
+    rides into the kernel as a scalar-prefetch operand."""
+    n = qt.qs.shape[-2]
+    k = qt.qs.shape[-1] * (2 if qt.kind == "nib4" else 1)
     lead = x.shape[:-1]
     mrows = 1
     for d in lead:
@@ -407,15 +495,15 @@ def pallas_qmatmul(x: jax.Array, qt: W.QTensor) -> jax.Array:
         packed_gpb = packed_s = 0
         if qt.packed:
             packed_gpb = 256 // qt.group  # groups per k-quant superblock
-            packed_s = qt.scale.shape[1] // (k // 256)
+            packed_s = qt.scale.shape[-1] // (k // 256)
         out = _qmm_2d(
-            x2, qt.qs, qt.scale, qt.bias,
+            x2, qt.qs, qt.scale, qt.bias, li,
             kind=qt.kind, group=qt.group, n=n, k=k, shards=shards,
             packed_gpb=packed_gpb, packed_s=max(packed_s, 1),
             interpret=_INTERPRET,
         )
     if out is None:
-        w = W.dequant(qt, x.dtype)
+        w = W.dequant(qt if li is None else W.layer_slice(qt, li), x.dtype)
         return (x.reshape(mrows, k) @ w.T).reshape(*lead, n)
     if pad:
         out = out[:mrows]

@@ -404,7 +404,7 @@ def _decode_call(q5, k_new, v_new, k_all, v_all, ks_all, vs_all,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(q5.shape, q5.dtype),
         interpret=interpret,
-    )(jnp.asarray([li], jnp.int32), slots, starts, win, *args)  # decode
+    )(jnp.asarray(li, jnp.int32).reshape(1), slots, starts, win, *args)  # decode
 
 
 # --------------------------------------------------------------------------
@@ -583,25 +583,29 @@ def _prefill_call(q5, k_new, v_new, k_all, v_all, ks_all, vs_all,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(q5.shape, q5.dtype),
         interpret=interpret,
-    )(jnp.asarray([li], jnp.int32), slots, starts, n_valid, win, *args)
+    )(jnp.asarray(li, jnp.int32).reshape(1), slots, starts, n_valid, win, *args)
 
 
 _INTERPRET = False
 
 
 def flash_attention(q, cache, li, slot_ids, q_pos, n_valid, k_new, v_new,
-                    cfg, ga_n, ga_w, rot_cache: bool = False):
+                    cfg, ga_n, ga_w, rot_cache: bool = False, win=None):
     """Drop-in for model.llama.attention_reference (the _ATTN_IMPL hook).
     rot_cache: K cells are stored PRE-ROTATED (upstream llama.cpp design;
     the engine enables it when self-extend is off) — skips the in-kernel
-    rotate and the cos/sin table DMA entirely."""
+    rotate and the cos/sin table DMA entirely. li / win may be traced
+    (layer-scanned forward): both are scalar-prefetch operands of the
+    kernels, never compile-time constants."""
     B, Tc, H, D = q.shape
     KH = k_new.shape[1]  # local kv heads (== cfg.n_kv_head/p under TP)
     G = H // KH
     q5 = q.reshape(B, Tc, KH, G, D)
     starts = q_pos[:, 0].astype(jnp.int32)
     ga = jnp.stack([jnp.asarray(ga_n, jnp.int32), jnp.asarray(ga_w, jnp.int32)])
-    win = jnp.asarray([cfg.layer_window(li)], jnp.int32)
+    if win is None:
+        win = cfg.layer_window(li)
+    win = jnp.asarray(win, jnp.int32).reshape(1)
     if Tc == 1:
         out = _decode_call(
             q5, k_new, v_new, cache.k, cache.v, cache.k_scale, cache.v_scale,

@@ -119,10 +119,12 @@ def attention_reference(
     ga_n: jax.Array,
     ga_w: jax.Array,
     rot_cache: bool = False,
+    win: jax.Array | int | None = None,  # sliding window; None -> from cfg
 ) -> jax.Array:
     """Reference (XLA) attention over the slot cache + in-flight rows.
     Returns [B, Tc, H, D]. rot_cache: K cells stored pre-rotated
-    (kvcache/cache.py) — skip the rotation here.
+    (kvcache/cache.py) — skip the rotation here. li and win may be TRACED
+    values (the layer-scanned forward passes them per scan step).
 
     Cell index == position (kvcache invariant): cache cells < start =
     q_pos[:, 0] are valid history (K rotated here by its possibly
@@ -165,16 +167,19 @@ def attention_reference(
     mask_new = (t_rel[None, None, :] <= t_rel[None, :, None]) & (
         t_rel[None, None, :] < n_valid[:, None, None]
     )  # [B, Tc(q), Tc(kv)]
-    window = cfg.layer_window(li)
-    if window > 0:
+    window = cfg.layer_window(li) if win is None else win
+    if win is not None or (isinstance(window, int) and window > 0):
         # sliding-window attention (gemma2 local layers): key position
-        # must be within [q_pos - window + 1, q_pos]
+        # must be within [q_pos - window + 1, q_pos]. With a traced window
+        # (layer-scanned forward) w <= 0 disables via a huge limit.
+        w = jnp.asarray(window, jnp.int32)
+        lim = jnp.where(w > 0, w, jnp.int32(2**30))
         mask_cache = mask_cache & (
-            cell[:, None, :] > q_pos[..., None] - window
+            cell[:, None, :] > q_pos[..., None] - lim
         )
         mask_new = mask_new & (
             (start[:, None, None] + t_rel[None, None, :])
-            > (start[:, None, None] + t_rel[None, :, None]) - window
+            > (start[:, None, None] + t_rel[None, :, None]) - lim
         )
     mask = jnp.concatenate([mask_cache, jnp.broadcast_to(mask_new, (B, Tc, Tc))],
                            axis=2)
@@ -249,27 +254,40 @@ def _forward(
         if cfg.embedding_scale != 1.0:
             x = x * jnp.asarray(cfg.embedding_scale, dtype)
 
-    new_k_rows, new_v_rows = [], []  # per layer, UNROTATED [B, Tc, KH, D]
-    hidden_sum = jnp.zeros((B, cfg.n_embd), jnp.float32) if collect_hidden else None
+    layers = weights["layers"]
+    stacked = isinstance(layers, dict)
 
-    for li in range(cfg.n_layer):
-        lw = weights["layers"][li]
-        h = rms_norm(x, lw["attn_norm"], cfg.rms_eps)
+    def layer_step(x, lw, li, win):
+        """One transformer layer. li/win may be traced (scan path with
+        lw = the STACKED weights dict: quantized matmuls index the layer
+        slab inside the Pallas kernel via li — a scalar-prefetch operand,
+        never an XLA dynamic-slice copy; small per-layer arrays (norms,
+        biases) are sliced normally). Returns (x, k_store, v_store) with
+        k/v_store the UNROTATED storage-order [B, KH, Tc, D] rows."""
+
+        def arr(name):  # small per-layer arrays
+            a = lw[name]
+            return a[li] if stacked else a
+
+        def mm(h, name):
+            return qmatmul(h, lw[name], li if stacked else None)
+
+        h = rms_norm(x, arr("attn_norm"), cfg.rms_eps)
         if "wqkv" in lw:  # load-time fused q|k|v (model/loader.py)
-            hqkv = qmatmul(h, lw["wqkv"])
+            hqkv = mm(h, "wqkv")
             if "bqkv" in lw:
-                hqkv = hqkv + lw["bqkv"]
+                hqkv = hqkv + arr("bqkv")
             hq = hqkv[..., : H * D]
             hk = hqkv[..., H * D : (H + KH) * D]
             hv = hqkv[..., (H + KH) * D :]
         else:
-            hq = qmatmul(h, lw["wq"])
-            hk = qmatmul(h, lw["wk"])
-            hv = qmatmul(h, lw["wv"])
+            hq = mm(h, "wq")
+            hk = mm(h, "wk")
+            hv = mm(h, "wv")
             if "bq" in lw:
-                hq = hq + lw["bq"]
-                hk = hk + lw["bk"]
-                hv = hv + lw["bv"]
+                hq = hq + arr("bq")
+                hk = hk + arr("bk")
+                hv = hv + arr("bv")
         # -1: under TP the local head counts are H/p, KH/p (shard_map
         # slices the projection weights; shapes carry the truth)
         hq = hq.reshape(B, Tc, -1, D)
@@ -287,39 +305,67 @@ def _forward(
         k_new_rot = apply_rope_storage(
             jnp.swapaxes(hk, 1, 2), self_extend_pos(q_pos, ga_n, ga_w), cfg
         )  # [B, KH, Tc, D]
-        new_k_rows.append(jnp.swapaxes(hk, 1, 2))
-        new_v_rows.append(jnp.swapaxes(hv, 1, 2))
+        k_store = jnp.swapaxes(hk, 1, 2)
+        v_store = jnp.swapaxes(hv, 1, 2)
 
         attn = _ATTN_IMPL(
             q_rot, cache, li, slot_ids, q_pos, n_valid,
-            k_new_rot, jnp.swapaxes(hv, 1, 2), cfg, ga_n, ga_w,
-            rot_cache=rot_cache,
+            k_new_rot, v_store, cfg, ga_n, ga_w,
+            rot_cache=rot_cache, win=win,
         )
         attn = attn.reshape(B, Tc, attn.shape[2] * D)
-        attn = qmatmul(attn, lw["wo"])
+        attn = mm(attn, "wo")
         if tp_axis is not None:
             # row-parallel wo: every shard holds a partial sum over its
             # local heads (Megatron pattern; SURVEY.md section 2c TP row)
             attn = jax.lax.psum(attn, tp_axis)
         if cfg.post_norms:
-            attn = rms_norm(attn, lw["post_attn_norm"], cfg.rms_eps)
+            attn = rms_norm(attn, arr("post_attn_norm"), cfg.rms_eps)
         x = x + attn
 
-        h = rms_norm(x, lw["ffn_norm"], cfg.rms_eps)
+        h = rms_norm(x, arr("ffn_norm"), cfg.rms_eps)
         if "w_gateup" in lw:  # load-time fused gate|up (model/loader.py)
-            gu = qmatmul(h, lw["w_gateup"])
+            gu = mm(h, "w_gateup")
             nf = gu.shape[-1] // 2
             gate = _act(gu[..., :nf], cfg.act)
             up = gu[..., nf:]
         else:
-            gate = _act(qmatmul(h, lw["w_gate"]), cfg.act)
-            up = qmatmul(h, lw["w_up"])
-        ffn = qmatmul(gate * up, lw["w_down"])
+            gate = _act(mm(h, "w_gate"), cfg.act)
+            up = mm(h, "w_up")
+        ffn = mm(gate * up, "w_down")
         if tp_axis is not None:
             ffn = jax.lax.psum(ffn, tp_axis)
         if cfg.post_norms:
-            ffn = rms_norm(ffn, lw["post_ffn_norm"], cfg.rms_eps)
-        x = x + ffn
+            ffn = rms_norm(ffn, arr("post_ffn_norm"), cfg.rms_eps)
+        return x + ffn, k_store, v_store
+
+    if stacked:
+        # SCANNED layers (loader stacks uniform layers,
+        # weights.stack_layer_dicts): XLA compiles ONE layer body instead
+        # of n_layer unrolled copies — compile time and executable size
+        # drop ~n_layer-fold (the round-2 warm-up was 330 s of exactly
+        # this). Only the layer index and sliding window ride as scan xs;
+        # the stacked weights are CLOSED OVER and indexed inside the
+        # kernels, so no per-step weight copies are made.
+        wins = jnp.asarray(
+            [cfg.layer_window(i) for i in range(cfg.n_layer)], jnp.int32)
+        li_arr = jnp.arange(cfg.n_layer, dtype=jnp.int32)
+
+        def body(xc, per):
+            li, win = per
+            xo, k_store, v_store = layer_step(xc, layers, li, win)
+            return xo, (k_store, v_store)
+
+        x, (k_stack, v_stack) = jax.lax.scan(body, x, (li_arr, wins))
+    else:  # legacy per-layer list: unrolled loop
+        new_k_rows, new_v_rows = [], []
+        for li in range(cfg.n_layer):
+            x, k_store, v_store = layer_step(
+                x, layers[li], li, cfg.layer_window(li))
+            new_k_rows.append(k_store)
+            new_v_rows.append(v_store)
+        k_stack = jnp.stack(new_k_rows)
+        v_stack = jnp.stack(new_v_rows)
 
     x = rms_norm(x, weights["output_norm"], cfg.rms_eps)
 
@@ -354,12 +400,11 @@ def _forward(
     # ONE append for the whole step (all layers, all slots); under
     # rot_cache the stored K is rotated HERE, once over the stacked rows
     # (rotation is position-only, identical across layers)
-    k_stack = jnp.stack(new_k_rows)
     if rot_cache:
         k_stack = apply_rope_storage(
             k_stack, self_extend_pos(q_pos, ga_n, ga_w)[None], cfg)
     cache = append_step(
-        cache, k_stack, jnp.stack(new_v_rows),
+        cache, k_stack, v_stack,
         slot_ids, start, n_valid, active,
     )
     lengths = jnp.where(

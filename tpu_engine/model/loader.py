@@ -223,10 +223,16 @@ def load_model(
                 )
             layers.append(lw)
 
+        # stack uniform layers into one dict of [L, ...] leaves so the
+        # forward SCANS layers (model/llama.py): XLA compiles one layer
+        # body, not n_layer unrolled copies. Non-uniform layers keep the
+        # per-layer list (unrolled fallback).
+        from .weights import stack_layer_dicts
+
         weights = {
             "token_embd": qt("token_embd.weight"),
             "output_norm": _norm(g, "output_norm.weight", compute_dtype, add_one),
-            "layers": layers,
+            "layers": stack_layer_dicts(layers) if len(layers) > 1 else layers,
         }
         if "output.weight" in g.tensors:
             weights["output"] = qt("output.weight")

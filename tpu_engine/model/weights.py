@@ -355,13 +355,82 @@ def concat_qtensors(qts: list[QTensor]) -> QTensor | None:
     )
 
 
-def qmatmul(x: jax.Array, qt: QTensor) -> jax.Array:
-    """y = x @ W.T with W quantized. x: [..., K] -> [..., N]."""
+def stack_layer_dicts(layers: list[dict]) -> dict | list:
+    """Stack per-layer weight dicts into ONE dict whose leaves carry a
+    leading layer axis — the layout jax.lax.scan consumes (model/llama.py
+    scans the transformer layers so XLA compiles ONE layer body instead of
+    an n_layer-times unrolled graph; compile time and executable size drop
+    ~n_layer-fold). Returns the original list when the layers are not
+    uniform (different keys / shapes / quant meta).
+
+    Sharded leaves (TP) keep their placement: the stacked array gets the
+    per-layer NamedSharding extended with a leading replicated axis."""
+    keys = set(layers[0].keys())
+    if any(set(lw.keys()) != keys for lw in layers[1:]):
+        return layers
+
+    def stack_arrays(arrs):
+        shardings = {getattr(a, "sharding", None) for a in arrs}
+        out = jnp.stack(arrs)
+        sh = shardings.pop() if len(shardings) == 1 else None
+        if (sh is not None and hasattr(sh, "spec")
+                and any(p is not None for p in sh.spec)):
+            from jax.sharding import NamedSharding, PartitionSpec
+            out = jax.device_put(
+                out, NamedSharding(sh.mesh, PartitionSpec(None, *sh.spec)))
+        return out
+
+    out: dict = {}
+    for key in keys:
+        leaves = [lw[key] for lw in layers]
+        if isinstance(leaves[0], QTensor):
+            q0 = leaves[0]
+            meta = (q0.kind, q0.group, q0.shape, q0.perm, q0.perm_shards,
+                    q0.packed)
+            if any((t.kind, t.group, t.shape, t.perm, t.perm_shards, t.packed)
+                   != meta or t.qs.shape != q0.qs.shape for t in leaves[1:]):
+                return layers
+            out[key] = QTensor(
+                qs=stack_arrays([t.qs for t in leaves]),
+                scale=stack_arrays([t.scale for t in leaves])
+                if q0.scale is not None else None,
+                bias=stack_arrays([t.bias for t in leaves])
+                if q0.bias is not None else None,
+                kind=q0.kind, group=q0.group, shape=q0.shape, perm=q0.perm,
+                perm_shards=q0.perm_shards, packed=q0.packed,
+            )
+        else:
+            if any(t.shape != leaves[0].shape for t in leaves[1:]):
+                return layers
+            out[key] = stack_arrays(leaves)
+    return out
+
+
+def layer_slice(qt: QTensor, li) -> QTensor:
+    """Per-layer view of a STACKED [L, ...] QTensor (stack_layer_dicts).
+    li may be traced (scan) — this is a dynamic slice, so only the
+    XLA-fallback path uses it; the Pallas kernel indexes the stacked
+    arrays directly via a scalar-prefetch operand instead."""
+    return QTensor(
+        qs=qt.qs[li],
+        scale=qt.scale[li] if qt.scale is not None else None,
+        bias=qt.bias[li] if qt.bias is not None else None,
+        kind=qt.kind, group=qt.group, shape=qt.shape, perm=qt.perm,
+        perm_shards=qt.perm_shards, packed=qt.packed,
+    )
+
+
+def qmatmul(x: jax.Array, qt: QTensor, li=None) -> jax.Array:
+    """y = x @ W.T with W quantized. x: [..., K] -> [..., N].
+
+    li: layer index into a STACKED [L, ...] QTensor (the layer-scanned
+    forward passes it; None for per-layer tensors)."""
     if qt.kind == "dense":
-        return x @ qt.qs.T.astype(x.dtype)
+        w = qt.qs if li is None else qt.qs[li]
+        return x @ w.T.astype(x.dtype)
     if _PALLAS_QMATMUL is not None:
-        return _PALLAS_QMATMUL(x, qt)
-    w = dequant(qt, x.dtype)
+        return _PALLAS_QMATMUL(x, qt, li)
+    w = dequant(qt if li is None else layer_slice(qt, li), x.dtype)
     return x @ w.T
 
 

@@ -52,6 +52,17 @@ log = logging.getLogger("tpu_engine.serve")
 PREFILL_BUCKETS = (16, 32, 64, 128, 256, 512)
 
 
+def _format_probs(items: list) -> list:
+    """probs_out entries -> the TaskResult wire shape consumed by
+    api/openai._logprobs_content."""
+    return [
+        {"token": t,
+         "top": [{"token": tt, "piece": pc, "logprob": lp}
+                 for tt, pc, lp in top]}
+        for t, top in items
+    ]
+
+
 class InferenceEngine:
     def __init__(
         self,
@@ -166,6 +177,15 @@ class InferenceEngine:
         self.failed = False  # set after repeated device-level failures
         self._consecutive_errors = 0
         self.n_requests = 0
+        # decode-lane counters (observability + tests of the two-lane
+        # mixed-batch path in _decode_step)
+        self.n_chunks_dispatched = 0
+        self.n_host_steps = 0
+        # regression instrumentation: how many prefill groups produced
+        # device-chained first tokens within ONE iteration (the
+        # _pending_first overwrite hazard is only exercised at >= 2)
+        self._first_groups_this_iter = 0
+        self.max_first_groups_iter = 0
         self.start_time = time.time()
         self._thread = threading.Thread(target=self._loop, daemon=True, name="engine-loop")
         self._thread.start()
@@ -226,7 +246,17 @@ class InferenceEngine:
         """Compile the hot executables before serving (reference WarmUpModel,
         llama_engine.cc:1247-1267): every prefill bucket that fits the slot
         context, plus the batched decode paths (first compile of a config is
-        tens of seconds on TPU — it must not land in a user request)."""
+        tens of seconds on TPU — it must not land in a user request).
+
+        Phase 0 compiles ALL executables concurrently (ops.warm_compile, a
+        thread pool over the same jitted callables); the fake requests
+        after it hit the compilation cache and only exercise the engine
+        loop's own paths."""
+        self.ops.warm_compile(
+            [b for b in self.prefill_buckets if b < self.slot_ctx],
+            [c for c in (self.decode_chunk, self.stop_chunk,
+                         self.stream_chunk) if c > 1],
+        )
         bos = self.tok.bos_id if self.tok.bos_id >= 0 else 0
 
         def run_phase(reqs):
@@ -676,6 +706,7 @@ class InferenceEngine:
         ready: list = []
         pending = [s for s in self.slots if s.state == SlotState.PROCESSING_PROMPT]
         if pending and (self.cont_batching or not generating):
+            self._first_groups_this_iter = 0
             groups: dict[int, list[Slot]] = {}
             singles: list[Slot] = []
             for s in pending:
@@ -779,6 +810,9 @@ class InferenceEngine:
                                    toks_dev)
             self._dev_sig = tuple(sorted((s.id, s.task_id)
                                          for s in finishers))
+            self._first_groups_this_iter += 1
+            self.max_first_groups_iter = max(self.max_first_groups_iter,
+                                             self._first_groups_this_iter)
         else:
             rows = self.ops.pull(logits)  # ONE [S, V] round-trip
             for s in finishers:
@@ -946,13 +980,25 @@ class InferenceEngine:
         if not gen:
             self._consume_pending_first()
             return
-        n_inner = self._pick_chunk(gen)
-        if (
-            n_inner > 1
-            and all(device_compatible(s.params.sampling) for s in gen)
-            and all(s.sampler.grammar_matcher is None for s in gen)
-        ):
-            self._decode_multi(gen, n_inner)
+
+        def on_device(s: Slot) -> bool:
+            return (device_compatible(s.params.sampling)
+                    and s.sampler.grammar_matcher is None)
+
+        dev_gen = [s for s in gen if on_device(s)]
+        host_gen = [s for s in gen if not on_device(s)]
+        n_inner = self._pick_chunk(dev_gen) if dev_gen else 1
+        if dev_gen and n_inner > 1:
+            # TWO LANES: device-compatible slots keep chunked pipelined
+            # decode; grammar/host-sampled slots run their single-token
+            # step on disjoint cache rows. One grammar request no longer
+            # collapses the whole batch to per-token host round-trips
+            # (the reference pays per-token host sampling for EVERY slot,
+            # always — llama_server_context.cc:1680-1698).
+            self._decode_multi(dev_gen, n_inner)
+            if host_gen:
+                self._decode_host([s for s in host_gen
+                                   if s.state == SlotState.GENERATING])
             return
         self._consume_pending_first()
         gen = [s for s in gen if s.state == SlotState.GENERATING]
@@ -964,6 +1010,15 @@ class InferenceEngine:
             if not gen:
                 return
         self._dev_sig = None  # single-step path invalidates device state
+        self._decode_host(gen)
+
+    def _decode_host(self, gen: list[Slot]) -> None:
+        """One host-sampled decode step over `gen` (reference hot-loop
+        semantics: sample + accept on the host per token,
+        llama_server_context.cc:1680-1698)."""
+        if not gen:
+            return
+        self.n_host_steps += 1
         S = self.n_parallel
         tokens = np.zeros((S, 1), np.int32)
         active = np.zeros((S,), bool)
@@ -1060,6 +1115,7 @@ class InferenceEngine:
             self._dev_sig = sig
         toks_dev = self.ops.dloop(n_inner, active_np, reset=reset)
         self._spec_q.append({"sig": sig, "toks": toks_dev, "n_inner": n_inner})
+        self.n_chunks_dispatched += 1
 
     def _inflight(self) -> int:
         return sum(c["n_inner"] for c in self._spec_q)
@@ -1182,10 +1238,19 @@ class InferenceEngine:
             if releasable > s.sent_offset:
                 delta = s.generated_text[s.sent_offset : releasable]
                 s.sent_offset = releasable
+                # per-token probs ride the partial that releases them
+                # (reference SendPartialResponse completion_probabilities,
+                # llama_server_context.cc:933-949) along with running timings
+                probs = []
+                if s.params.sampling.n_probs > 0 and len(s.probs_out) > s.probs_sent:
+                    probs = _format_probs(s.probs_out[s.probs_sent:])
+                    s.probs_sent = len(s.probs_out)
                 self._emit(s.task_id, TaskResult(
                     task_id=s.task_id, text=delta,
                     tokens_predicted=s.timings.predicted_n,
                     tokens_evaluated=s.prompt_cells,
+                    timings=s.timings.to_dict(),
+                    probs=probs,
                 ))
 
     def _finish_slot(self, s: Slot, ) -> None:
@@ -1199,10 +1264,12 @@ class InferenceEngine:
             text = s.generated_text[s.sent_offset :]
         else:
             text = s.generated_text
-        probs = [
-            {"token": t, "top": [{"token": tt, "piece": pc, "logprob": lp} for tt, pc, lp in top]}
-            for t, top in s.probs_out
-        ]
+        # stream: only the tail not yet sent in partials (reference
+        # SendFinalResponse slices at sent_token_probs_index, :989-1000);
+        # non-stream: everything
+        probs = _format_probs(
+            s.probs_out[s.probs_sent:] if s.params and s.params.stream
+            else s.probs_out)
         self._emit(s.task_id, TaskResult(
             task_id=s.task_id, stop=True, text=text,
             stop_reason=StopReason.NONE if cancelled else s.stop_reason,

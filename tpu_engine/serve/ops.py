@@ -154,6 +154,93 @@ class EngineOps:
         self._last_tok_dev = toks
         return toks
 
+    # -------------------------------------------------------- warm compile
+    def warm_compile(self, prefill_buckets, chunk_sizes, threads: int = 8,
+                     singles: bool = True) -> None:
+        """Compile the serving executables CONCURRENTLY before traffic.
+
+        Each job calls the same jitted callables the engine uses (identical
+        shapes/statics -> identical cache keys) against throwaway dummy
+        caches, from a thread pool: tracing holds the GIL but the XLA/
+        Mosaic backend compile releases it, so cold compiles overlap
+        (round-2's sequential fake-request warm-up serialized every
+        executable — 330 s on the driver run). With the persistent
+        compilation cache warm, each job is a few seconds of trace +
+        cache load."""
+        import concurrent.futures as cf
+
+        from ..sampling import SamplingParams
+
+        S = self.n_slots
+
+        def sds(a):
+            # abstract stand-in: AOT lowering allocates NOTHING (a dummy
+            # KV cache per job OOM'd HBM on 7B: 2 GB x thread count)
+            sh = getattr(a, "sharding", None)
+            if self._sharding is not None and sh is not None:
+                return jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=sh)
+            return jax.ShapeDtypeStruct(a.shape, a.dtype)
+
+        weights_s = jax.tree.map(sds, self.model.weights)
+        cache_s = jax.tree.map(sds, self.cache)
+
+        def i32(shape):
+            return jax.ShapeDtypeStruct(shape, np.int32)
+
+        def b8(shape):
+            return jax.ShapeDtypeStruct(shape, np.bool_)
+
+        # ga_n/ga_w ride as the SAME Python ints the serving calls pass
+        # (a weak-typed int aval; a strong jnp.int32 would change the key)
+
+        def prefill_job(rows, bucket):
+            self._step_fn.lower(
+                weights_s, cache_s, i32((rows, bucket)), i32((rows,)),
+                b8((rows,)), self.cfg, ga_n=self.ga_n, ga_w=self.ga_w,
+                n_valid=i32((rows,)), rot_cache=self.rot_cache).compile()
+
+        def single_step_job():
+            # the [S, 1] host-sampled step (grammar / mixed-batch lane)
+            self._step_fn.lower(
+                weights_s, cache_s, i32((S, 1)), i32((S,)), b8((S,)),
+                self.cfg, ga_n=self.ga_n, ga_w=self.ga_w,
+                rot_cache=self.rot_cache).compile()
+
+        params_s = jax.tree.map(sds, params_from_host([SamplingParams()] * S))
+        st = new_state(S, seed=0)
+        state_s = DeviceSamplerState(ring=sds(st.ring), keys=sds(st.keys))
+
+        def chunk_job(n_inner):
+            self._dloop_fn.lower(
+                weights_s, cache_s, i32((S,)), b8((S,)), self.cfg,
+                params_s, state_s, int(n_inner),
+                ga_n=self.ga_n, ga_w=self.ga_w,
+                rot_cache=self.rot_cache).compile()
+
+        jobs = []
+        for b in prefill_buckets:
+            jobs.append((prefill_job, (S, b)))
+            if singles:
+                jobs.append((prefill_job, (1, b)))
+        for n_inner in sorted(set(int(c) for c in chunk_sizes)):
+            jobs.append((chunk_job, (n_inner,)))
+        # compile the [S, 1] step FIRST, then execute it (all rows
+        # inactive: no cache writes) while the pool compiles the rest —
+        # the axon runtime pays a large one-time per-process cost on the
+        # FIRST program execution (~100-500 s, opaque to JAX); running it
+        # here overlaps it with the remaining compiles instead of letting
+        # it land on the first fake warm-up request (or worse, a user's)
+        single_step_job()
+        with cf.ThreadPoolExecutor(max_workers=threads) as ex:
+            futs = [ex.submit(fn, *a) for fn, a in jobs]
+            try:
+                self.step(np.zeros((S, 1), np.int32),
+                          np.arange(S, dtype=np.int32), np.zeros((S,), bool))
+                self.pull(self._last_step_logits)
+            finally:
+                for f in futs:
+                    f.result()  # propagate compile errors
+
     # ------------------------------------------------------------ kv ops
     def trim(self, slot: int, n: int) -> None:
         self.cache = trim(self.cache, jnp.int32(slot), jnp.int32(n))

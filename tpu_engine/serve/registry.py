@@ -199,11 +199,25 @@ class EngineRegistry:
                      model_id, lm.cfg.pooling_type)
             return True, f"Model {model_id} loaded successfully"
 
+        # knob parity with the reference's LoadModelImpl
+        # (llama_engine.cc:569-570,610,618,649-650): n_ubatch maps to our
+        # prefill bucket cap (the jitted-chunk analog of ggml's micro-
+        # batch); ngl / use_mmap / mlock are device-memory knobs with no
+        # TPU meaning (weights are always device-resident; PARITY.md §2c)
+        # — acknowledged and logged, never silently dropped.
+        n_batch = int(body.get("n_batch", 2048))
+        n_ubatch = int(body.get("n_ubatch", n_batch))
+        for knob in ("ngl", "use_mmap", "mlock"):
+            if knob in body:
+                log.info("load knob %s=%r acknowledged: not applicable on "
+                         "TPU (weights are device-resident)",
+                         knob, body[knob])
+
         engine = InferenceEngine(
             lm,
             n_ctx=n_ctx,
             n_parallel=n_parallel,
-            n_batch=int(body.get("n_batch", 2048)),
+            n_batch=min(n_batch, n_ubatch),
             cont_batching=bool(body.get("cont_batching", True)),
             ctx_shift=bool(body.get("ctx_shift", True)),
             grp_attn_n=int(body.get("grp_attn_n", 1)),

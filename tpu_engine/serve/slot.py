@@ -51,6 +51,8 @@ class Slot:
     stopping_word: str = ""
     truncated: bool = False
     probs_out: list = field(default_factory=list)
+    probs_sent: int = 0  # probs already emitted in stream partials
+    # (reference sent_token_probs_index, llama_server_context.cc:937-948)
 
     # embeddings
     embed_sum: list | None = None
@@ -95,6 +97,7 @@ class Slot:
         self.stopping_word = ""
         self.truncated = False
         self.probs_out = []
+        self.probs_sent = 0
         self.embed_sum = None
         self.embed_count = 0
         self.timings = Timings()

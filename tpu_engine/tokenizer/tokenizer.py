@@ -55,9 +55,9 @@ _UNI_TO_BYTE = {v: k for k, v in _BYTE_TO_UNI.items()}
 SPIECE_UNDERLINE = "▁"  # ▁
 
 
-@dataclass
-class Tokenizer:
-    model: str  # "llama" | "gpt2"
+@dataclass(eq=False)  # identity hash/eq: one tokenizer per loaded model
+class Tokenizer:       # (weak-keyed caches like grammar._TRIE_CACHE key on it)
+    model: str  # "llama" | "gpt2" | "bert"
     tokens: list[str]
     scores: np.ndarray | None
     token_types: np.ndarray
