@@ -132,15 +132,123 @@ def main() -> int:
             f"p50 TTFT {ttft_p50:.0f} ms; roofline {roofline:.0f} tok/s]",
             file=sys.stderr,
         )
-        print(json.dumps({
+        headline = {
             "metric": f"aggregate_decode_tok_per_s_per_chip_{PRESET}_{QUANT}_bs{N_PARALLEL}",
             "value": round(toks_per_sec, 2),
             "unit": "tokens/s",
             "vs_baseline": round(toks_per_sec / roofline, 4),
-        }))
-        return 0
+        }
     finally:
         eng.shutdown()
+
+    # BASELINE.md configs 2-4 (TinyLlama scale keeps total bench time
+    # bounded): extra metrics go to stderr + BENCH_CONFIGS.json; stdout
+    # stays the single headline JSON line the driver parses.
+    if os.environ.get("BENCH_EXTRA", "1") == "1":
+        try:
+            extras = run_extra_configs()
+        except Exception as e:  # noqa: BLE001 — extras must not sink the headline
+            print(f"[extra configs failed: {e}]", file=sys.stderr)
+            extras = None
+        if extras:
+            with open(os.path.join(_DIR, "BENCH_CONFIGS.json"), "w") as f:
+                json.dump(extras, f, indent=1)
+            for line in extras:
+                print(f"[extra] {json.dumps(line)}", file=sys.stderr)
+
+    print(json.dumps(headline))
+    return 0
+
+
+def run_extra_configs() -> list:
+    """BASELINE.md configs 2-4 on the TinyLlama-architecture synthetic:
+      2: Q5_K_M + prompt caching (repeat-prompt TTFT speedup)
+      3: quantized KV (q8_0) + flash-decode at LONG fill (~2k cells)
+      4: self-extend + ctx shift + GBNF-constrained decode
+    """
+    from tpu_engine.model.loader import load_model
+    from tpu_engine.sampling import SamplingParams
+    from tpu_engine.serve import CompletionParams, InferenceEngine
+    from tpu_engine.tools.synthetic import cached_synthetic
+
+    cache_dir = os.path.join(_DIR, ".bench_cache")
+    sp = SamplingParams(temperature=0.0)
+    out = []
+
+    def drain(eng, tid):
+        while True:
+            r = eng.next_result(tid, timeout=1200.0)
+            if r.error:
+                raise RuntimeError(r.error_message)
+            if r.stop:
+                return r
+
+    # -- config 2: Q5_K_M + prompt caching --------------------------------
+    path = cached_synthetic(cache_dir, "tinyllama-1.1b", "q5_k_m")
+    lm = load_model(path)
+    eng = InferenceEngine(lm, n_ctx=4096, n_parallel=8, n_batch=512,
+                          prefill_buckets=(16, 64, 256))
+    try:
+        eng.warm_up()
+        prompt = " ".join(f"word{i} the quick brown fox" for i in range(40))
+        r = drain(eng, eng.request_completion(CompletionParams(
+            prompt=prompt, n_predict=32, sampling=sp, cache_prompt=True)))
+        cold_ttft = r.timings.get("prompt_ms", 0.0)
+        t0 = time.time()
+        r = drain(eng, eng.request_completion(CompletionParams(
+            prompt=prompt, n_predict=32, sampling=sp, cache_prompt=True)))
+        warm_ttft = r.timings.get("prompt_ms", 0.0)
+        dec = r.tokens_predicted / max(time.time() - t0 - warm_ttft / 1e3, 1e-9)
+        out.append({"metric": "cfg2_q5_k_m_prompt_cache_ttft_ms",
+                    "value": round(warm_ttft, 2), "unit": "ms",
+                    "vs_baseline": round(warm_ttft / max(cold_ttft, 1e-9), 4),
+                    "note": f"cold {cold_ttft:.1f} ms; decode {dec:.0f} tok/s"})
+    finally:
+        eng.shutdown()
+
+    # -- config 3: q8_0 KV + flash decode at long fill ---------------------
+    path = cached_synthetic(cache_dir, "tinyllama-1.1b", "q4_k_m")
+    lm = load_model(path)
+    eng = InferenceEngine(lm, n_ctx=8 * 2560, n_parallel=8, n_batch=512,
+                          prefill_buckets=(512,), cache_type="q8_0")
+    try:
+        eng.warm_up()
+        long_prompt = [3 + (i % 200) for i in range(2048)]
+        tids = [eng.request_completion(CompletionParams(
+            prompt=long_prompt, n_predict=128, sampling=sp,
+            cache_prompt=False)) for _ in range(8)]
+        t0 = time.time()
+        rs = [drain(eng, tid) for tid in tids]
+        total = sum(r.tokens_predicted for r in rs)
+        el = max(r.timings.get("predicted_ms", 0.0) for r in rs) / 1e3
+        rate = total / max(el, 1e-9)
+        out.append({"metric": "cfg3_q8_0_kv_flash_decode_fill2k_tok_per_s",
+                    "value": round(rate, 2), "unit": "tokens/s",
+                    "vs_baseline": 0.0,
+                    "note": f"8 slots, fill 2048, wall {time.time()-t0:.1f}s"})
+    finally:
+        eng.shutdown()
+
+    # -- config 4: self-extend + ctx shift + GBNF --------------------------
+    lm = load_model(path)
+    eng = InferenceEngine(lm, n_ctx=8 * 512, n_parallel=8, n_batch=512,
+                          prefill_buckets=(16,), grp_attn_n=2, grp_attn_w=256)
+    try:
+        eng.warm_up()
+        gsp = SamplingParams(temperature=0.0,
+                             grammar='root ::= ("yes" | "no" | " ")*\n')
+        t0 = time.time()
+        # 600 tokens through a 512-cell window forces ctx shifts mid-run
+        r = drain(eng, eng.request_completion(CompletionParams(
+            prompt="start", n_predict=600, sampling=gsp, cache_prompt=False)))
+        el = time.time() - t0
+        out.append({"metric": "cfg4_self_extend_ctx_shift_gbnf_tok_per_s",
+                    "value": round(r.tokens_predicted / el, 2),
+                    "unit": "tokens/s", "vs_baseline": 0.0,
+                    "note": f"{r.tokens_predicted} tok, truncated={r.truncated}"})
+    finally:
+        eng.shutdown()
+    return out
 
 
 if __name__ == "__main__":

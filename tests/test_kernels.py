@@ -146,6 +146,39 @@ def test_fallback_on_odd_shapes():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("ty", [GGMLType.Q4_K, GGMLType.Q6_K])
+@pytest.mark.parametrize("m", [1, 8])
+def test_pallas_qmm_lane_padded_matches_unpadded(ty, m):
+    """Lane-aligned group-cycle padding (QTensor.k_pad): a tensor whose
+    ng = K/group is not a multiple of 128 (llama-7B w_down has ng=344)
+    gets zero groups appended; the kernel result must equal the unpadded
+    layout bit-for-bit, and dequant() must strip the pad columns."""
+    from tpu_engine.model.weights import lane_pad_group_cycle
+
+    n, k = 256, 1024  # Q4_K: ng = 32 -> pads to 128; Q6_K: ng = 64 -> 128
+    qt, w, dq = make_qtensor(ty, n, k)
+    qs_p, sc_p, b_p, k_pad = lane_pad_group_cycle(
+        np.asarray(qt.qs), np.asarray(qt.scale),
+        None if qt.bias is None else np.asarray(qt.bias), qt.group, k)
+    assert k_pad > k
+    qt_pad = QTensor(qs=jnp.asarray(qs_p), scale=jnp.asarray(sc_p),
+                     bias=None if b_p is None else jnp.asarray(b_p),
+                     kind=qt.kind, group=qt.group, shape=(n, k), perm=True,
+                     k_pad=k_pad)
+    np.testing.assert_allclose(np.asarray(dequant(qt_pad)),
+                               np.asarray(dequant(qt)), rtol=0, atol=0)
+    x = RNG.normal(size=(m, k)).astype(np.float32)
+    old = DM._INTERPRET
+    DM._INTERPRET = True
+    try:
+        out_pad = np.asarray(DM.pallas_qmatmul(jnp.asarray(x), qt_pad))
+        out = np.asarray(DM.pallas_qmatmul(jnp.asarray(x), qt))
+    finally:
+        DM._INTERPRET = old
+    denom = np.maximum(np.abs(out), 1.0)
+    assert np.max(np.abs(out_pad - out) / denom) < 2e-3
+
+
 def make_qtensor_packed(ty: GGMLType, n: int, k: int):
     """(packed QTensor, flat-dequant w, flat QTensor from the same
     raw bytes — the numerics-matched comparison target)."""

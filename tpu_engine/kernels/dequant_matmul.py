@@ -482,10 +482,17 @@ def pallas_qmatmul(x: jax.Array, qt: W.QTensor, li=None) -> jax.Array:
     mrows = 1
     for d in lead:
         mrows *= d
-    x2 = x.reshape(mrows, k)
+    x2 = x.reshape(mrows, x.shape[-1])
+    if qt.k_pad:
+        # lane-padded layout (QTensor.k_pad): zero groups at the cycle
+        # tail; the activation pads to match (its natural-order pad
+        # columns are trailing, exactly the zero groups)
+        x2 = jnp.concatenate(
+            [x2, jnp.zeros((mrows, k - x.shape[-1]), x2.dtype)], axis=1)
     # a local K-slice of a perm_shards=p tensor holds k/k_global of the
     # chunks (p when unsliced; 1 when sharded p-ways)
-    shards = max(qt.perm_shards * k // qt.shape[1], 1) if qt.perm else 1
+    shards = (1 if qt.k_pad else
+              max(qt.perm_shards * k // qt.shape[1], 1)) if qt.perm else 1
     # Mosaic wants the sublane dim divisible by 8: pad small batches
     pad = (-mrows) % 8
     if pad:
@@ -504,7 +511,7 @@ def pallas_qmatmul(x: jax.Array, qt: W.QTensor, li=None) -> jax.Array:
         )
     if out is None:
         w = W.dequant(qt if li is None else W.layer_slice(qt, li), x.dtype)
-        return (x.reshape(mrows, k) @ w.T).reshape(*lead, n)
+        return (x.reshape(mrows, x.shape[-1]) @ w.T).reshape(*lead, n)
     if pad:
         out = out[:mrows]
     return out.reshape(*lead, n).astype(x.dtype)

@@ -52,11 +52,17 @@ class QTensor:
     # Q4_K HBM bytes from 0.75 to 0.578 per element. Single-shard only
     # (superblocks need not divide K/p).
     packed: bool = False
+    # lane-aligned group padding: when K/group is not a multiple of 128,
+    # the kernel's per-column scale tile-repeat misaligns every repetition
+    # (measured 383 vs ~800 GB/s on llama-7B w_down, ng=344). The stored
+    # arrays are padded to k_pad = round_up(ng, 128) * group columns with
+    # zero groups; the matmul pads the activation to match. 0 = unpadded.
+    k_pad: int = 0
 
     def tree_flatten(self):
         return (self.qs, self.scale, self.bias), (self.kind, self.group, self.shape,
                                                   self.perm, self.perm_shards,
-                                                  self.packed)
+                                                  self.packed, self.k_pad)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -65,9 +71,10 @@ class QTensor:
         perm = aux[3] if len(aux) > 3 else False
         perm_shards = aux[4] if len(aux) > 4 else 1
         packed = aux[5] if len(aux) > 5 else False
+        k_pad = aux[6] if len(aux) > 6 else 0
         return cls(qs=qs, scale=scale, bias=bias, kind=kind, group=group,
                    shape=shape, perm=perm, perm_shards=perm_shards,
-                   packed=packed)
+                   packed=packed, k_pad=k_pad)
 
     @property
     def bits_per_weight(self) -> float:
@@ -78,6 +85,28 @@ class QTensor:
         if self.bias is not None:
             total += self.bias.size * self.bias.dtype.itemsize
         return total * 8.0 / (n * k)
+
+
+def lane_pad_group_cycle(qs: np.ndarray, scale: np.ndarray,
+                         bias: np.ndarray | None, group: int, k: int):
+    """Pad a group-transposed layout's cycle width ng = k/group up to a
+    multiple of 128 lanes with ZERO groups (scale 0 kills any qs garbage).
+    Returns (qs, scale, bias, k_pad). See QTensor.k_pad."""
+    n = qs.shape[0]
+    ng = k // group
+    ng_pad = -(-ng // 128) * 128
+    k_pad = ng_pad * group
+    plane = qs.shape[1] // ng  # group//2 (nib4) or group (i8) rows
+    qs = np.concatenate([
+        qs.reshape(n, plane, ng),
+        np.zeros((n, plane, ng_pad - ng), qs.dtype)], axis=2,
+    ).reshape(n, plane * ng_pad)
+    scale = np.concatenate(
+        [scale, np.zeros((n, ng_pad - ng), scale.dtype)], axis=1)
+    if bias is not None:
+        bias = np.concatenate(
+            [bias, np.zeros((n, ng_pad - ng), bias.dtype)], axis=1)
+    return qs, scale, bias, k_pad
 
 
 def qtensor_from_gguf(g: GGUFFile, name: str, dtype=jnp.float32,
@@ -152,6 +181,21 @@ def qtensor_from_gguf(g: GGUFFile, name: str, dtype=jnp.float32,
                 qs = permute_group_transpose_nib4(dq.qs, lay.group, perm_shards)
             else:
                 qs = permute_group_transpose_i8(dq.qs, lay.group, perm_shards)
+        # lane-align the group cycle: pad ng to a multiple of 128 with zero
+        # groups (see QTensor.k_pad). Only for single-chunk layouts; TP
+        # chunked tensors keep their exact per-chunk cycles.
+        k_pad = 0
+        ng = k // lay.group
+        ng_pad = -(-ng // 128) * 128
+        # the pad adds zero-group qs bytes (ng_pad/ng more DMA): only
+        # worth it when the misalignment penalty dominates, i.e. the pad
+        # ratio is small (7B w_down: 384/344 = +11.6% bytes for a ~2x
+        # faster kernel; TinyLlama's 256/176 = +45% would be a net loss)
+        if (perm_shards == 1 and ng % 128 and ng_pad <= 1.2 * ng
+                and os.environ.get("TPU_ENGINE_PAD_NG", "1") == "1"):
+            qs, scale, bias, k_pad = lane_pad_group_cycle(
+                np.asarray(qs), np.asarray(scale),
+                None if bias is None else np.asarray(bias), lay.group, k)
         return QTensor(
             qs=jnp.asarray(qs),
             scale=jnp.asarray(scale),
@@ -161,6 +205,7 @@ def qtensor_from_gguf(g: GGUFFile, name: str, dtype=jnp.float32,
             shape=(n, k),
             perm=True,
             perm_shards=perm_shards,
+            k_pad=k_pad,
         )
     w = np.asarray(g.dequantize(name, np.float32)).reshape(n, k)
     return QTensor(
@@ -248,6 +293,8 @@ def _local_k_shards(qt: QTensor) -> tuple[int, int]:
     K-slice of a perm_shards=p tensor (dist/tp.py) holds k/k_global of the
     permutation chunks."""
     k = qt.qs.shape[-1] * (2 if qt.kind == "nib4" else 1)
+    if qt.k_pad:
+        return k, 1  # lane-padded layouts are single-chunk by construction
     shards = max(qt.perm_shards * k // qt.shape[1], 1) if qt.perm else 1
     return k, shards
 
@@ -267,6 +314,9 @@ def dequant(qt: QTensor, dtype=jnp.float32) -> jax.Array:
         w = w + jnp.repeat(bias, qt.group, axis=-1)
     if qt.packed:
         w = _unpermute_packed_groups(w, qt)
+    if qt.k_pad:
+        # lane-padding groups sit at the TAIL in natural column order
+        w = w[..., : qt.shape[1]]
     return w.astype(dtype)
 
 
@@ -286,6 +336,8 @@ def _rows(qt: QTensor, ids: jax.Array, dtype=jnp.float32) -> jax.Array:
         w = w + jnp.repeat(bias, qt.group, axis=-1)
     if qt.packed:
         w = _unpermute_packed_groups(w, qt)
+    if qt.k_pad:
+        w = w[..., : qt.shape[1]]
     return w.astype(dtype)
 
 
@@ -303,7 +355,7 @@ def permute_rows(qt: QTensor, perm: np.ndarray) -> QTensor:
         scale=qt.scale[idx] if qt.scale is not None else None,
         bias=qt.bias[idx] if qt.bias is not None else None,
         kind=qt.kind, group=qt.group, shape=qt.shape, perm=qt.perm,
-        perm_shards=qt.perm_shards, packed=qt.packed,
+        perm_shards=qt.perm_shards, packed=qt.packed, k_pad=qt.k_pad,
     )
 
 
@@ -326,6 +378,7 @@ def slice_rows(qt: QTensor, start: int, stop: int) -> QTensor:
         bias=qt.bias[start:stop] if qt.bias is not None else None,
         kind=qt.kind, group=qt.group, shape=(stop - start, qt.shape[1]),
         perm=qt.perm, perm_shards=qt.perm_shards, packed=qt.packed,
+        k_pad=qt.k_pad,
     )
 
 
@@ -338,7 +391,7 @@ def concat_qtensors(qts: list[QTensor]) -> QTensor | None:
     if any(
         t.kind != k0.kind or t.group != k0.group or t.shape[1] != k0.shape[1]
         or t.perm != k0.perm or t.perm_shards != k0.perm_shards
-        or t.packed != k0.packed
+        or t.packed != k0.packed or t.k_pad != k0.k_pad
         or (t.bias is None) != (k0.bias is None)
         for t in qts
     ):
@@ -351,7 +404,7 @@ def concat_qtensors(qts: list[QTensor]) -> QTensor | None:
         bias=jnp.concatenate([t.bias for t in qts], axis=0)
         if k0.bias is not None else None,
         kind=k0.kind, group=k0.group, shape=(n_total, k0.shape[1]), perm=k0.perm,
-        perm_shards=k0.perm_shards, packed=k0.packed,
+        perm_shards=k0.perm_shards, packed=k0.packed, k_pad=k0.k_pad,
     )
 
 
@@ -386,8 +439,9 @@ def stack_layer_dicts(layers: list[dict]) -> dict | list:
         if isinstance(leaves[0], QTensor):
             q0 = leaves[0]
             meta = (q0.kind, q0.group, q0.shape, q0.perm, q0.perm_shards,
-                    q0.packed)
-            if any((t.kind, t.group, t.shape, t.perm, t.perm_shards, t.packed)
+                    q0.packed, q0.k_pad)
+            if any((t.kind, t.group, t.shape, t.perm, t.perm_shards, t.packed,
+                    t.k_pad)
                    != meta or t.qs.shape != q0.qs.shape for t in leaves[1:]):
                 return layers
             out[key] = QTensor(
@@ -397,7 +451,7 @@ def stack_layer_dicts(layers: list[dict]) -> dict | list:
                 bias=stack_arrays([t.bias for t in leaves])
                 if q0.bias is not None else None,
                 kind=q0.kind, group=q0.group, shape=q0.shape, perm=q0.perm,
-                perm_shards=q0.perm_shards, packed=q0.packed,
+                perm_shards=q0.perm_shards, packed=q0.packed, k_pad=q0.k_pad,
             )
         else:
             if any(t.shape != leaves[0].shape for t in leaves[1:]):
@@ -416,7 +470,7 @@ def layer_slice(qt: QTensor, li) -> QTensor:
         scale=qt.scale[li] if qt.scale is not None else None,
         bias=qt.bias[li] if qt.bias is not None else None,
         kind=qt.kind, group=qt.group, shape=qt.shape, perm=qt.perm,
-        perm_shards=qt.perm_shards, packed=qt.packed,
+        perm_shards=qt.perm_shards, packed=qt.packed, k_pad=qt.k_pad,
     )
 
 

@@ -25,8 +25,11 @@ import sys
 import time
 
 
-def compute_ppl(lm, text: str, n_ctx: int = 512, progress=None):
-    """Returns (ppl, n_tokens_scored, mean_nll)."""
+def compute_ppl(lm, text: str, n_ctx: int = 512, progress=None,
+                kv_kind: str = "f16"):
+    """Returns (ppl, n_tokens_scored, mean_nll). kv_kind: KV cache storage
+    (f16 | q8_0 | q4_0) — the q8_0/q4_0 quality gate runs the same eval
+    with a quantized cache."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -62,7 +65,7 @@ def compute_ppl(lm, text: str, n_ctx: int = 512, progress=None):
     for ci in range(n_chunks):
         chunk = ids[ci * n_ctx : (ci + 1) * n_ctx]
         cache = new_cache(cfg.n_layer, 1, n_ctx, cfg.n_kv_head, cfg.head_dim,
-                          dtype=jnp.bfloat16, kind="f16")
+                          dtype=jnp.bfloat16, kind=kv_kind)
         toks = jnp.asarray([chunk], jnp.int32)
         _, cache, hidden = forward_step(
             lm.weights, cache, toks,
