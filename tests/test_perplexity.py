@@ -39,6 +39,32 @@ def test_ppl_f32_vs_q4(models):
     assert abs(pplq4 - ppl32) / ppl32 < 0.25
 
 
+def test_ppl_deeper_model_tight_gate(tmp_path):
+    """A deeper (4-layer 'mini') model tightens the gate to a few percent
+    (llama.cpp's published Q4_K_M WikiText-2 band is <1% on trained
+    weights; random weights are more quantization-sensitive). Also gates
+    the q8_0-KV path: near-lossless KV must stay within a fraction of the
+    weight-quant delta. Scale evidence (1.1B) lives in PPL_r03.json via
+    scripts/ppl_gate.py."""
+    from tpu_engine.tools.synthetic import build_synthetic_gguf
+
+    f32 = str(tmp_path / "mini_f32.gguf")
+    q4 = str(tmp_path / "mini_q4.gguf")
+    build_synthetic_gguf(f32, "mini", "f32", seed=3)
+    requantize_gguf(f32, q4, "q4_k_m")
+
+    lm32 = load_model(f32)
+    ppl32, n32, _ = compute_ppl(lm32, TEXT, n_ctx=64)
+    lmq4 = load_model(q4)
+    pplq4, nq4, _ = compute_ppl(lmq4, TEXT, n_ctx=64)
+    assert n32 == nq4 > 0
+    assert abs(pplq4 - ppl32) / ppl32 < 0.05, (ppl32, pplq4)
+
+    # quantized KV on the same q4 weights: q8_0 is near-lossless
+    pplq4_kv8, _, _ = compute_ppl(lmq4, TEXT, n_ctx=64, kv_kind="q8_0")
+    assert abs(pplq4_kv8 - pplq4) / pplq4 < 0.02, (pplq4, pplq4_kv8)
+
+
 def test_ppl_deterministic(models):
     f32_path, _ = models
     lm = load_model(f32_path)

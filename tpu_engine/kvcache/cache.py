@@ -46,10 +46,16 @@ from __future__ import annotations
 from dataclasses import dataclass
 from functools import partial
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 
 KV_KINDS = ("f32", "f16", "q8_0", "q4_0")
+# decode append as ONE scatter instead of a per-slot DUS loop (see
+# _put_slot_windows); default off until the scatter is measured faster on
+# real TPU silicon than the loop it replaces
+_BATCH_APPEND = _os.environ.get("TPU_ENGINE_BATCH_APPEND", "0") == "1"
 
 
 @jax.tree_util.register_pytree_node_class
@@ -189,6 +195,16 @@ def _put_slot_windows(arr: jax.Array, vals: jax.Array, slot_ids, starts,
     is_scale = vals.ndim == 4  # scale planes [L, B, KH, Tc]
     sizes = (L, 1, KH, Tc) + (() if is_scale else (arr.shape[4],))
     if Tc == 1:
+        if _BATCH_APPEND:
+            # ONE scatter for all slots (PARITY round-3 lead: the per-slot
+            # DUS loop costs ~19 us per slot): row b writes cell
+            # (slot_ids[b], starts[b]); inactive rows scatter out of
+            # bounds and mode="drop" discards them
+            S = arr.shape[1]
+            slot = jnp.where(active & (n_valid > 0), slot_ids, S)
+            pos = jnp.minimum(starts, T - 1)
+            upd = jnp.swapaxes(vals[:, :, :, 0], 0, 1).astype(arr.dtype)
+            return arr.at[:, slot, :, pos].set(upd, mode="drop")
         # decode fast path: one unpadded token per row — no clamp roll and
         # no pad masking, so skip the read-modify-write; inactive rows skip
         # the write entirely via cond (the dynamic_slice read cost the same
