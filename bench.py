@@ -79,6 +79,9 @@ def main() -> int:
     eng = InferenceEngine(
         lm, n_ctx=CTX, n_parallel=N_PARALLEL, n_batch=512,
         prefill_buckets=(16, 64),
+        # f16 KV storage — the reference's default cache_type
+        # (llama_engine.cc:628-637); halves attention + append bytes
+        cache_type=os.environ.get("BENCH_KV", "f16"),
     )
     try:
         # warm-up compiles prefill buckets + decode executables

@@ -142,6 +142,10 @@ def qtensor_from_gguf(g: GGUFFile, name: str, dtype=jnp.float32,
             perm_shards == 1
             and ti.ggml_type in PACKED_TYPES
             and k % 256 == 0
+            # only lane-ALIGNED group cycles: unaligned ng (7B w_down's
+            # 344) pays misaligned-repeat VPU cost on top of the packed
+            # expansion; those tensors use the flat layout + k_pad instead
+            and (k // lay.group) % 128 == 0
             and os.environ.get("TPU_ENGINE_PACKED_SCALES", "0") == "1"
         )
         if packed:
