@@ -164,3 +164,71 @@ def test_tp_engine_generates_same_tokens(tmp_path_factory):
     mesh = tp.tp_mesh(4)
     got = run(load_model(path, sharder=tp.TPSharder(mesh)), mesh=mesh)
     assert ref == got
+
+
+@pytest.mark.parametrize("n_data,n_model", [(2, 1), (2, 2)])
+def test_dp_engine_generates_same_tokens(tmp_path_factory, n_data, n_model):
+    """Data-parallel serving (slots sharded over the mesh "data" axis,
+    dist/tp.py): the engine under a (data, model) mesh produces the same
+    greedy tokens as the unsharded engine — prefill rows route to the
+    owning data-shard (masked + psum-reassembled logits), batched decode
+    runs fully local per shard."""
+    from tpu_engine.serve import CompletionParams, InferenceEngine
+
+    path = _build(tmp_path_factory, "q4_k_m")
+
+    def run(lm, mesh=None):
+        eng = InferenceEngine(lm, n_ctx=256, n_parallel=4, n_batch=64,
+                              prefill_buckets=(16,), mesh=mesh)
+        try:
+            sp = SamplingParams(temperature=0.0)
+            tids = [
+                eng.request_completion(CompletionParams(
+                    prompt=[1, 30 + i, 40 + i, 50], n_predict=12,
+                    sampling=sp, cache_prompt=False))
+                for i in range(4)
+            ]
+            outs = {}
+            for tid in tids:
+                while True:
+                    r = eng.next_result(tid, timeout=300.0)
+                    assert not r.error, r.error_message
+                    if r.stop:
+                        outs[tid] = r.text
+                        break
+            return [outs[t] for t in tids]
+        finally:
+            eng.shutdown()
+
+    ref = run(load_model(path))
+    mesh = tp.tp_mesh(n_model, n_data=n_data)
+    assert tp.dp_degree(mesh, 4) == n_data
+    lm = load_model(path, sharder=tp.TPSharder(mesh) if n_model > 1 else None)
+    got = run(lm, mesh=mesh)
+    assert ref == got
+
+
+def test_dp_decode_loop_slots_sharded(tmp_path_factory):
+    """The dp decode loop's cache really is slot-sharded: each data-shard
+    holds S/dp slots (addressable shards differ), and lengths bump
+    per-slot exactly as the unsharded path."""
+    path = _build(tmp_path_factory, "q8_0")
+    lm = load_model(path)
+    cfg = lm.cfg
+    S = 4
+    mesh = tp.tp_mesh(1, n_data=2)
+    fwd, dloop = tp.make_tp_functions(mesh, lm.weights, cfg)
+    cache = tp.shard_cache_tp(
+        new_cache(cfg.n_layer, S, 64, cfg.n_kv_head, cfg.head_dim), mesh)
+    # slot dim sharded over "data"
+    assert "data" in str(cache.k.sharding.spec)
+    _, cache, _ = fwd(
+        lm.weights, cache, jnp.asarray([PROMPT] * S, jnp.int32),
+        jnp.arange(S, dtype=jnp.int32), jnp.ones((S,), bool), cfg)
+    params = params_from_host([SamplingParams(temperature=0.0)] * S)
+    toks, last, cache, _ = dloop(
+        lm.weights, cache, jnp.asarray([5, 6, 7, 8], jnp.int32),
+        jnp.ones((S,), bool), cfg, params, new_state(S, seed=7), 6)
+    assert np.asarray(toks).shape == (S, 6)
+    np.testing.assert_array_equal(
+        np.asarray(cache.lengths), [len(PROMPT) + 6] * S)

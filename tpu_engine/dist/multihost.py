@@ -199,6 +199,11 @@ def _build_state(config: dict, with_cache: bool = True):
     mesh = _build_mesh(tp_size)
     lm = load_model(config["model_path"], sharder=_tp.TPSharder(mesh))
     if tp_size > 1:
+        # aux-weight placement is itself a device_put sequence (collective
+        # under multi-process shardings): run it HERE on every process, in
+        # the same order; the engine's own call then finds everything
+        # placed and issues nothing
+        lm.weights = _tp.place_aux_weights(lm.weights, mesh)
         step_fn, dloop_fn = _tp.make_tp_functions(mesh, lm.weights, lm.cfg)
     else:
         step_fn, dloop_fn = forward_step, decode_loop

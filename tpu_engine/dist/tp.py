@@ -25,6 +25,16 @@ Sharding plan over a 1D ("model",) mesh of p devices:
   token_embd            : replicated (gather stays local)
   KV cache              : kv-heads sharded -> P(None, None, "model", None, None)
   activations / slots   : replicated (slot parallelism stays host-side)
+
+Data parallelism over an optional leading "data" axis (BASELINE config 5's
+dp x tp grid): weights stay replicated across "data" while the SLOT
+dimension shards — each data-shard runs the full decode loop over its own
+slots + KV cache + sampler rows, so batched decode scales with dp at zero
+collective cost. Prefill rows arrive with arbitrary slot targets, so they
+run replicated with non-owned rows masked inactive; each shard's logits
+are masked to its owned rows and one [B, V] psum over "data" reassembles
+the batch (tiny next to a prefill step). dp engages whenever the mesh
+carries a "data" axis whose size divides the slot count.
 """
 
 from __future__ import annotations
@@ -50,6 +60,14 @@ from ..model.weights import QTensor
 log = logging.getLogger("tpu_engine.dist.tp")
 
 AXIS = "model"
+DATA = "data"
+
+
+def dp_degree(mesh: Mesh, n_slots: int) -> int:
+    """Effective data-parallel degree: the mesh's "data" axis when it
+    divides the slot count (else slots stay replicated)."""
+    d = dict(mesh.shape).get(DATA, 1)
+    return d if d > 1 and n_slots % d == 0 else 1
 
 # weight-name suffix -> TP role (same split as dist/sharding.py)
 _COL = {"wq", "wk", "wv", "w_gate", "w_up"}
@@ -62,11 +80,14 @@ _GGUF_ROLE = {
 }
 
 
-def tp_mesh(n_model: int, devices=None) -> Mesh:
+def tp_mesh(n_model: int, devices=None, n_data: int = 1) -> Mesh:
     devices = devices if devices is not None else jax.devices()
-    if len(devices) < n_model:
-        raise ValueError(f"tensor_parallel={n_model} but only "
-                         f"{len(devices)} devices attached")
+    if len(devices) < n_model * n_data:
+        raise ValueError(f"tensor_parallel={n_model} x data_parallel="
+                         f"{n_data} but only {len(devices)} devices attached")
+    if n_data > 1:
+        grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+        return Mesh(grid, axis_names=(DATA, AXIS))
     return Mesh(np.asarray(devices[:n_model]), axis_names=(AXIS,))
 
 
@@ -119,6 +140,8 @@ class TPSharder:
 
 def validate_tp(cfg, weights: dict, p: int) -> None:
     """Fail fast when the model cannot run this TP degree."""
+    if p <= 1:
+        return  # dp-only serving: weights replicated, nothing to split
     if cfg.n_head % p or cfg.n_kv_head % p:
         raise ValueError(
             f"tensor_parallel={p} requires n_head ({cfg.n_head}) and "
@@ -173,12 +196,14 @@ def _weight_specs(weights: dict, p: int) -> dict:
     return specs
 
 
-def _cache_specs(cache: KVCache) -> KVCache:
-    """Spec pytree for the KV cache: kv-heads sharded on the model axis."""
-    head = P(None, None, AXIS, None, None)
-    sc = P(None, None, AXIS, None)
+def _cache_specs(cache: KVCache, dp: int = 1) -> KVCache:
+    """Spec pytree for the KV cache: kv-heads sharded on the model axis;
+    slots (and per-slot lengths) on the data axis when dp > 1."""
+    sl = DATA if dp > 1 else None
+    head = P(None, sl, AXIS, None, None)
+    sc = P(None, sl, AXIS, None)
     return KVCache(
-        k=head, v=head, lengths=P(None),
+        k=head, v=head, lengths=P(sl),
         k_scale=sc if cache.k_scale is not None else None,
         v_scale=sc if cache.v_scale is not None else None,
         kind=cache.kind,
@@ -186,17 +211,60 @@ def _cache_specs(cache: KVCache) -> KVCache:
 
 
 def shard_cache_tp(cache: KVCache, mesh: Mesh) -> KVCache:
-    head = NamedSharding(mesh, P(None, None, AXIS, None, None))
-    sc = NamedSharding(mesh, P(None, None, AXIS, None))
-    repl = NamedSharding(mesh, P(None))
+    dp = dp_degree(mesh, cache.k.shape[1])
+    specs = _cache_specs(cache, dp)
 
     def put(a, s):
-        return jax.device_put(a, s) if a is not None else None
+        return jax.device_put(a, NamedSharding(mesh, s)) if a is not None else None
 
-    return KVCache(k=put(cache.k, head), v=put(cache.v, head),
-                   lengths=put(cache.lengths, repl),
-                   k_scale=put(cache.k_scale, sc),
-                   v_scale=put(cache.v_scale, sc), kind=cache.kind)
+    return KVCache(k=put(cache.k, specs.k), v=put(cache.v, specs.v),
+                   lengths=put(cache.lengths, specs.lengths),
+                   k_scale=put(cache.k_scale, specs.k_scale),
+                   v_scale=put(cache.v_scale, specs.v_scale), kind=cache.kind)
+
+
+def place_aux_weights(weights: dict, mesh: Mesh) -> dict:
+    """Place the NON-QTensor weight leaves (norm vectors, attention biases)
+    on the mesh with their shard_map specs. TPSharder only sees QTensors
+    (it is a loader hook on quantized tensors), so without this the aux
+    arrays stay committed to device 0 — live dispatch tolerates the mix,
+    but AOT warm-compile (serve/ops.py warm_compile) bakes per-arg
+    shardings and refuses args committed to different device sets."""
+    import dataclasses
+
+    p = dict(mesh.shape).get(AXIS, 1)
+    specs = _weight_specs(weights, p)
+    repl = NamedSharding(mesh, P())
+
+    def put(x, s):
+        if isinstance(x, QTensor):
+            if len(x.qs.sharding.device_set) > 1:
+                return x  # already mesh-placed by TPSharder
+            # dp-only loads skip TPSharder: replicate onto the mesh
+            def pq(a):
+                return None if a is None else jax.device_put(a, repl)
+
+            return dataclasses.replace(
+                x, qs=pq(x.qs), scale=pq(x.scale), bias=pq(x.bias))
+        if getattr(x, "sharding", None) == NamedSharding(mesh, s):
+            # already placed (multi-host: device_put to a multi-process
+            # sharding is a COLLECTIVE — a second placement pass on the
+            # leader only would desync the followers' op sequence)
+            return x
+        return jax.device_put(x, NamedSharding(mesh, s))
+
+    out = {k: put(v, specs.get(k, P())) for k, v in weights.items()
+           if k not in ("layers", "output")}
+    out["output"] = (out["token_embd"]
+                     if weights["output"] is weights["token_embd"]
+                     else put(weights["output"], specs["output"]))
+    lws, lsp = weights["layers"], specs["layers"]
+    if isinstance(lws, dict):
+        out["layers"] = {k: put(v, lsp[k]) for k, v in lws.items()}
+    else:
+        out["layers"] = [{k: put(v, sp[k]) for k, v in lw.items()}
+                         for lw, sp in zip(lws, lsp)]
+    return out
 
 
 def make_tp_functions(mesh: Mesh, weights: dict, cfg):
@@ -212,14 +280,39 @@ def make_tp_functions(mesh: Mesh, weights: dict, cfg):
 
     def fwd(weights, cache, tokens, slot_ids, active, cfg_, ga_n=1, ga_w=0,
             n_valid=None, collect_hidden=False, embd=None, rot_cache=False):
-        cspecs = _cache_specs(cache)
+        dp = dp_degree(mesh, cache.lengths.shape[0])
+        cspecs = _cache_specs(cache, dp)
         ga_n = jnp.asarray(ga_n, jnp.int32)
         ga_w = jnp.asarray(ga_w, jnp.int32)
 
         def body(w, c, t, s, a, gn, gw, nv, e):
-            return _forward(w, c, t, s, a, cfg, ga_n=gn, ga_w=gw, n_valid=nv,
-                            collect_hidden=collect_hidden, embd=e,
-                            tp_axis=AXIS, rot_cache=rot_cache)
+            if dp > 1:
+                # prefill rows target arbitrary slots: every data-shard
+                # runs the batch, but only the shard owning a row's slot
+                # lets it write (active mask) or contribute logits. Slot s
+                # lives on shard s // S_local (static slot partition).
+                s_local_n = c.lengths.shape[0]  # local slots on this shard
+                base = jax.lax.axis_index(DATA).astype(jnp.int32) * s_local_n
+                owned = (s >= base) & (s < base + s_local_n)
+                # non-owned rows get an OUT-OF-BOUNDS local slot: their
+                # lengths scatter drops (JAX OOB-scatter semantics) instead
+                # of colliding with an owned row's update, and their cache
+                # reads clamp to garbage that the masks discard
+                s = jnp.where(owned, s - base, s_local_n)
+                a = a & owned
+            logits, c2, pooled = _forward(
+                w, c, t, s, a, cfg, ga_n=gn, ga_w=gw, n_valid=nv,
+                collect_hidden=collect_hidden, embd=e,
+                tp_axis=AXIS, rot_cache=rot_cache)
+            if dp > 1:
+                # reassemble the batch: each row is owned by exactly one
+                # data-shard; mask the rest to 0 and sum over "data"
+                logits = jax.lax.psum(
+                    jnp.where(owned[:, None], logits, 0.0), DATA)
+                if pooled is not None:
+                    m = owned.reshape((-1,) + (1,) * (pooled.ndim - 1))
+                    pooled = jax.lax.psum(jnp.where(m, pooled, 0.0), DATA)
+            return logits, c2, pooled
 
         pooled_spec = repl if collect_hidden else None
         sm = _shard_map(
@@ -235,11 +328,25 @@ def make_tp_functions(mesh: Mesh, weights: dict, cfg):
 
     def dloop(weights, cache, tokens, active, cfg_, samp_params, samp_state,
               n_inner, ga_n=1, ga_w=0, rot_cache=False):
-        cspecs = _cache_specs(cache)
+        dp = dp_degree(mesh, cache.lengths.shape[0])
+        cspecs = _cache_specs(cache, dp)
         ga_n = jnp.asarray(ga_n, jnp.int32)
         ga_w = jnp.asarray(ga_w, jnp.int32)
-        pspecs = jax.tree.map(lambda _: repl, samp_params)
-        sspecs = jax.tree.map(lambda _: repl, samp_state)
+        if dp > 1:
+            # batched decode is embarrassingly data-parallel: slots, their
+            # sampler rows and their outputs all shard the leading S axis
+            def bshard(a):
+                return P(DATA, *([None] * (a.ndim - 1)))
+
+            tok_spec = act_spec = P(DATA)
+            pspecs = jax.tree.map(bshard, samp_params)
+            sspecs = jax.tree.map(bshard, samp_state)
+            toks_out, last_out = P(DATA, None), P(DATA)
+        else:
+            tok_spec = act_spec = repl
+            pspecs = jax.tree.map(lambda _: repl, samp_params)
+            sspecs = jax.tree.map(lambda _: repl, samp_state)
+            toks_out = last_out = repl
 
         def body(w, c, t, a, sp, st, gn, gw):
             return _decode_loop(w, c, t, a, cfg, sp, st, n_inner,
@@ -248,8 +355,9 @@ def make_tp_functions(mesh: Mesh, weights: dict, cfg):
 
         sm = _shard_map(
             body, mesh=mesh,
-            in_specs=(wspecs, cspecs, repl, repl, pspecs, sspecs, repl, repl),
-            out_specs=(repl, repl, cspecs, sspecs),
+            in_specs=(wspecs, cspecs, tok_spec, act_spec, pspecs, sspecs,
+                      repl, repl),
+            out_specs=(toks_out, last_out, cspecs, sspecs),
             check_vma=False,
         )
         return sm(weights, cache, tokens, active, samp_params, samp_state,

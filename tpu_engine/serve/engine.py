@@ -106,13 +106,17 @@ class InferenceEngine:
         )
         self.slots = [Slot(i, self.slot_ctx) for i in range(n_parallel)]
 
-        # tensor parallelism: run the SAME step functions inside shard_map
-        # so the Pallas kernels execute per-shard with explicit psums
-        # (dist/tp.py); weights must be loaded with TPSharder(mesh)
+        # tensor / data parallelism: run the SAME step functions inside
+        # shard_map — Pallas kernels execute per model-shard with explicit
+        # psums, slots shard over the optional "data" axis (dist/tp.py);
+        # weights must be loaded with TPSharder(mesh) when model > 1
         self.mesh = mesh
-        if mesh is not None and mesh.shape.get("model", 1) > 1:
+        if mesh is not None and (
+                mesh.shape.get("model", 1) > 1
+                or dict(mesh.shape).get("data", 1) > 1):
             from ..dist import tp
 
+            model.weights = tp.place_aux_weights(model.weights, mesh)
             step_fn, dloop_fn = tp.make_tp_functions(
                 mesh, model.weights, self.cfg)
             cache = tp.shard_cache_tp(cache, mesh)

@@ -178,6 +178,12 @@ class EngineOps:
             # KV cache per job OOM'd HBM on 7B: 2 GB x thread count)
             sh = getattr(a, "sharding", None)
             if self._sharding is not None and sh is not None:
+                if len(sh.device_set) == 1:
+                    # lowering refuses args committed to different device
+                    # sets: lift single-device leaves (sampler params,
+                    # fresh token arrays) to mesh-replicated — matching
+                    # how the live dispatch reshards them
+                    sh = self._sharding
                 return jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=sh)
             return jax.ShapeDtypeStruct(a.shape, a.dtype)
 

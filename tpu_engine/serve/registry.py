@@ -130,18 +130,25 @@ class EngineRegistry:
         # the reference is single-device — SURVEY.md section 2c). The Pallas
         # kernels run per-shard via shard_map (dist/tp.py).
         tp_req = body.get("tensor_parallel", 1)
+        dp_size = int(body.get("data_parallel", 1))  # slot-sharded replicas
         import jax as _jx
         n_dev = len(_jx.devices())
-        tp_size = n_dev if str(tp_req) == "auto" else int(tp_req)
+        tp_size = (n_dev // max(dp_size, 1) if str(tp_req) == "auto"
+                   else int(tp_req))
         mesh = None
-        if tp_size > 1:
+        if tp_size > 1 or dp_size > 1:
             from ..dist import tp as _tp
 
-            if tp_size > n_dev:
-                return False, (f"tensor_parallel={tp_size} but only "
-                               f"{n_dev} devices attached")
-            mesh = _tp.tp_mesh(tp_size)
-            lm = load_model(str(path), sharder=_tp.TPSharder(mesh))
+            if tp_size * dp_size > n_dev:
+                return False, (f"tensor_parallel={tp_size} x data_parallel="
+                               f"{dp_size} but only {n_dev} devices attached")
+            if dp_size > 1 and n_parallel % dp_size:
+                return False, (f"data_parallel={dp_size} requires n_parallel "
+                               f"({n_parallel}) divisible by it")
+            mesh = _tp.tp_mesh(tp_size, n_data=dp_size)
+            lm = load_model(str(path),
+                            sharder=_tp.TPSharder(mesh) if tp_size > 1
+                            else None)
             try:
                 _tp.validate_tp(lm.cfg, lm.weights, tp_size)
             except ValueError as e:
