@@ -212,23 +212,36 @@ def run_extra_configs() -> list:
     # -- config 3: q8_0 KV + flash decode at long fill ---------------------
     path = cached_synthetic(cache_dir, "tinyllama-1.1b", "q4_k_m")
     lm = load_model(path)
+    # weight-read roofline for this model/batch — same yardstick as the
+    # headline (KV traffic at fill 2k adds ~10% more reads, so the true
+    # ceiling is slightly lower; weight-only keeps the metric comparable)
+    tiny_roofline = 8 * HBM_BW / lm.model_size_bytes
     eng = InferenceEngine(lm, n_ctx=8 * 2560, n_parallel=8, n_batch=512,
                           prefill_buckets=(512,), cache_type="q8_0")
     try:
         eng.warm_up()
         long_prompt = [3 + (i % 200) for i in range(2048)]
+        t0 = time.time()
         tids = [eng.request_completion(CompletionParams(
             prompt=long_prompt, n_predict=128, sampling=sp,
             cache_prompt=False)) for _ in range(8)]
-        t0 = time.time()
         rs = [drain(eng, tid) for tid in tids]
+        wall = time.time() - t0
         total = sum(r.tokens_predicted for r in rs)
-        el = max(r.timings.get("predicted_ms", 0.0) for r in rs) / 1e3
+        els = [r.timings.get("predicted_ms", 0.0) for r in rs]
+        el = max(els) / 1e3
+        if el <= 0:  # timings bug guard — fall back to wall minus prefill
+            el = wall - max(r.timings.get("prompt_ms", 0.0) for r in rs) / 1e3
         rate = total / max(el, 1e-9)
+        if not (0 < rate < tiny_roofline * 1.5):
+            raise RuntimeError(
+                f"cfg3 nonsense rate {rate:.3g} tok/s (roofline "
+                f"{tiny_roofline:.0f}; predicted_ms={els})")
         out.append({"metric": "cfg3_q8_0_kv_flash_decode_fill2k_tok_per_s",
                     "value": round(rate, 2), "unit": "tokens/s",
-                    "vs_baseline": 0.0,
-                    "note": f"8 slots, fill 2048, wall {time.time()-t0:.1f}s"})
+                    "vs_baseline": round(rate / tiny_roofline, 4),
+                    "note": f"8 slots, fill 2048, wall {wall:.1f}s; "
+                            "vs_baseline = fraction of weight-read roofline"})
     finally:
         eng.shutdown()
 
@@ -238,6 +251,12 @@ def run_extra_configs() -> list:
                           prefill_buckets=(16,), grp_attn_n=2, grp_attn_w=256)
     try:
         eng.warm_up()
+        # plain run first: the denominator (same engine, no grammar) so
+        # vs_baseline reports the true cost of the grammar lane
+        t0 = time.time()
+        r = drain(eng, eng.request_completion(CompletionParams(
+            prompt="start", n_predict=600, sampling=sp, cache_prompt=False)))
+        plain_rate = r.tokens_predicted / max(time.time() - t0, 1e-9)
         gsp = SamplingParams(temperature=0.0,
                              grammar='root ::= ("yes" | "no" | " ")*\n')
         t0 = time.time()
@@ -245,10 +264,17 @@ def run_extra_configs() -> list:
         r = drain(eng, eng.request_completion(CompletionParams(
             prompt="start", n_predict=600, sampling=gsp, cache_prompt=False)))
         el = time.time() - t0
+        rate = r.tokens_predicted / max(el, 1e-9)
+        if not (0 < rate < tiny_roofline * 1.5):
+            raise RuntimeError(f"cfg4 nonsense rate {rate:.3g} tok/s")
         out.append({"metric": "cfg4_self_extend_ctx_shift_gbnf_tok_per_s",
-                    "value": round(r.tokens_predicted / el, 2),
-                    "unit": "tokens/s", "vs_baseline": 0.0,
-                    "note": f"{r.tokens_predicted} tok, truncated={r.truncated}"})
+                    "value": round(rate, 2),
+                    "unit": "tokens/s",
+                    "vs_baseline": round(rate / max(plain_rate, 1e-9), 4),
+                    "note": f"{r.tokens_predicted} tok, truncated="
+                            f"{r.truncated}; vs_baseline = ratio to the "
+                            f"same engine without grammar ({plain_rate:.0f}"
+                            " tok/s)"})
     finally:
         eng.shutdown()
     return out

@@ -43,6 +43,9 @@ def _load() -> ctypes.CDLL | None:
     if _TRIED:
         return _LIB
     _TRIED = True
+    if os.environ.get("TPU_ENGINE_NATIVE", "1") == "0":
+        log.info("native lib disabled via TPU_ENGINE_NATIVE=0")
+        return None
     if _needs_build():
         try:  # build on first use (g++ is in the image)
             subprocess.run(

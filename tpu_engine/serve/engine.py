@@ -268,7 +268,14 @@ class InferenceEngine:
             for tid in tids:
                 while True:
                     r = self.next_result(tid)
-                    if r.stop or r.error:
+                    if r.error:
+                        # a warm-up failure means a serving executable is
+                        # broken — abort LOUDLY with the op context instead
+                        # of letting the device error resurface later as an
+                        # opaque async pull (the round-3 bench crash mode)
+                        raise RuntimeError(
+                            f"warm-up request failed: {r.error_message}")
+                    if r.stop:
                         break
 
         # Phase 1: plain bucket prompts — compiles every prefill bucket,
@@ -1264,6 +1271,12 @@ class InferenceEngine:
 
     def _final_result(self, s: Slot, cancelled: bool = False) -> None:
         """Reference: SendFinalResponse (:964-1024)."""
+        # a request can finish mid-chunk (stop word / budget inside
+        # _decode_multi's post-process loop) BEFORE the per-chunk
+        # predicted_ms update runs — stamp it here so final timings are
+        # never zero (the round-3 cfg3 "1e12 tok/s" artifact)
+        if s.timings.predicted_n > 0 and s.t_start_gen > 0:
+            s.timings.predicted_ms = (time.time() - s.t_start_gen) * 1000.0
         if s.params and s.params.stream:
             text = s.generated_text[s.sent_offset :]
         else:
