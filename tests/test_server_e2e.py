@@ -294,6 +294,13 @@ def test_load_errors(server):
     status, resp = post(base, "/v1/chat/completions", {
         "model": "ghost", "messages": [{"role": "user", "content": "x"}]})
     assert status == 409
+    # tensor_parallel="auto" with data_parallel > n_dev floors tp to 0:
+    # must be a clean 400, not a degenerate zero-axis mesh (ADVICE r3)
+    status, resp = post(base, "/loadmodel", {
+        "llama_model_path": model_path, "model": "g2",
+        "tensor_parallel": "auto", "data_parallel": 4096})
+    assert status == 400
+    assert "not a valid grid" in str(resp)
 
 
 def test_multimodal_chat(server, tmp_path_factory):

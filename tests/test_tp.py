@@ -232,3 +232,32 @@ def test_dp_decode_loop_slots_sharded(tmp_path_factory):
     assert np.asarray(toks).shape == (S, 6)
     np.testing.assert_array_equal(
         np.asarray(cache.lengths), [len(PROMPT) + 6] * S)
+
+
+def test_dp_chained_dloop_one_executable(tmp_path_factory):
+    """Chained decode chunks under dp must reuse ONE dloop executable:
+    a chunk's outputs carry P("data") shardings, and EngineOps commits
+    reset-path inputs (tokens, sampler params/state) to that same
+    placement (ops._row_put) so the jit signature never changes between
+    a reset chunk, a chained chunk, and a later reset (ADVICE r3)."""
+    from tpu_engine.serve.ops import EngineOps
+
+    path = _build(tmp_path_factory, "q8_0")
+    lm = load_model(path)
+    cfg = lm.cfg
+    S = 4
+    mesh = tp.tp_mesh(1, n_data=2)
+    fwd, dloop = tp.make_tp_functions(mesh, lm.weights, cfg)
+    cache = tp.shard_cache_tp(
+        new_cache(cfg.n_layer, S, 64, cfg.n_kv_head, cfg.head_dim), mesh)
+    ops = EngineOps(lm, cfg, cache, fwd, dloop, 1, 0, mesh=mesh)
+    assert ops._row_sharding is not None
+    active = np.ones((S,), bool)
+    reset = dict(pending=[5, 6, 7, 8], by_slot=[SamplingParams()] * S,
+                 prevs=[[1, 2]] * S, seed=3)
+    ops.dloop(4, active, reset=dict(reset))
+    ops.dloop(4, active)                    # chained: P("data") outputs
+    ops.dloop(4, active, reset=dict(reset))  # reset again: host arrays
+    assert dloop._cache_size() == 1, (
+        f"dloop compiled {dloop._cache_size()} signatures; chained/reset "
+        "chunks must share one")

@@ -210,12 +210,28 @@ def _cache_specs(cache: KVCache, dp: int = 1) -> KVCache:
     )
 
 
+def canon_spec(mesh: Mesh, s: P) -> P:
+    """GSPMD-canonical form of a PartitionSpec: size-1 mesh axes drop to
+    None and trailing Nones strip. Committed placements must use this form
+    so a jitted step's OUTPUT cache (which XLA reports canonicalized) has
+    the same sharding as the initial placement — otherwise the second call
+    silently recompiles (ADVICE r3, serve/ops.py warm_compile)."""
+    shape = dict(mesh.shape)
+    parts = [p if (p is not None and shape.get(p, 1) > 1) else None
+             for p in s]
+    while parts and parts[-1] is None:
+        parts.pop()
+    return P(*parts)
+
+
 def shard_cache_tp(cache: KVCache, mesh: Mesh) -> KVCache:
     dp = dp_degree(mesh, cache.k.shape[1])
     specs = _cache_specs(cache, dp)
 
     def put(a, s):
-        return jax.device_put(a, NamedSharding(mesh, s)) if a is not None else None
+        if a is None:
+            return None
+        return jax.device_put(a, NamedSharding(mesh, canon_spec(mesh, s)))
 
     return KVCache(k=put(cache.k, specs.k), v=put(cache.v, specs.v),
                    lengths=put(cache.lengths, specs.lengths),

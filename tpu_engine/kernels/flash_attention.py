@@ -340,7 +340,11 @@ def _decode_call(q5, k_new, v_new, k_all, v_all, ks_all, vs_all,
         return jnp.minimum(kb, jnp.maximum((starts[b] + Tblk - 1) // Tblk - 1, 0))
 
     def kv_map(b, kb, li, slots, starts, win):
-        return (li[0], slots[b], 0, clamp(b, kb, starts), 0)
+        # clamp: under dp, non-owned rows carry slot id == S_local (one past
+        # the end) so their lengths scatter drops; the cache read must not
+        # rely on Mosaic's implicit block-index clamping (dist/tp.py)
+        s = jnp.minimum(slots[b], k_all.shape[1] - 1)
+        return (li[0], s, 0, clamp(b, kb, starts), 0)
 
     def tab_map(b, kb, li, slots, starts, win):
         if rotated:
@@ -527,7 +531,9 @@ def _prefill_call(q5, k_new, v_new, k_all, v_all, ks_all, vs_all,
         return jnp.minimum(kb, jnp.maximum((starts[b] + Tblk - 1) // Tblk - 1, 0))
 
     def kv_map(b, kh, qb, kb, li, slots, starts, nv, win):
-        return (li[0], slots[b], kh, clamp_kb(b, kb, starts), 0)
+        # clamp OOB dp sentinel slot ids (see _decode_call.kv_map)
+        s = jnp.minimum(slots[b], k_all.shape[1] - 1)
+        return (li[0], s, kh, clamp_kb(b, kb, starts), 0)
 
     def tab_map(b, kh, qb, kb, li, slots, starts, nv, win):
         if rotated:

@@ -176,6 +176,7 @@ class InferenceEngine:
         self._results: dict[int, queue.Queue] = {}
         self._results_lock = threading.Lock()
         self._wake = threading.Condition()
+        self._loop_calls: list = []  # run-on-loop-thread ops (_call_on_loop)
         self._running = True
         self._model_loaded = True
         self.failed = False  # set after repeated device-level failures
@@ -238,6 +239,38 @@ class InferenceEngine:
             self._kv_clear_requested = True
             self._wake.notify()
 
+    def _call_on_loop(self, fn, timeout: float = 600.0):
+        """Run fn on the ENGINE LOOP thread and return its result.
+
+        Device ops must never run concurrently with the loop: the jitted
+        step/dloop calls DONATE the KV cache, so a caller-thread op can
+        donate the very buffers an in-flight loop op (e.g. the post-release
+        trim in _process_chunk) is about to pass — 'Buffer has been deleted
+        or donated' + a stuck collective under a dp mesh. Routing through
+        the loop serializes by construction."""
+        if threading.current_thread() is self._thread:
+            return fn()
+        done = threading.Event()
+        box: dict = {}
+
+        def wrapper():
+            try:
+                box["r"] = fn()
+            except BaseException as e:  # surfaced in the caller below
+                box["e"] = e
+            finally:
+                done.set()
+
+        with self._wake:
+            self._loop_calls.append(wrapper)
+            self._wake.notify()
+        if not done.wait(timeout):
+            raise TimeoutError("engine loop did not run the requested op "
+                               f"within {timeout}s")
+        if "e" in box:
+            raise box["e"]
+        return box.get("r")
+
     def shutdown(self) -> None:
         """Reference: ReleaseResources (:366-380)."""
         self.ops.shutdown()
@@ -260,6 +293,7 @@ class InferenceEngine:
             [b for b in self.prefill_buckets if b < self.slot_ctx],
             [c for c in (self.decode_chunk, self.stop_chunk,
                          self.stream_chunk) if c > 1],
+            runner=self._call_on_loop,
         )
         bos = self.tok.bos_id if self.tok.bos_id >= 0 else 0
 
@@ -314,18 +348,18 @@ class InferenceEngine:
         """Compile the [S, 1] host-sampled decode step (used for grammar /
         non-device-compatible sampling): run it with every row inactive so
         the cache is untouched."""
-        # the engine thread may still be settling a speculative chunk from
-        # the warm-up requests; wait for quiescence before touching the cache
-        for _ in range(3000):
-            if not self._spec_q and not any(s.is_processing() for s in self.slots):
-                break
-            time.sleep(0.01)
-        S = self.n_parallel
-        logits, _ = self.ops.step(
-            np.zeros((S, 1), np.int32), np.arange(S, dtype=np.int32),
-            np.zeros((S,), bool),
-        )
-        self.ops.pull(logits)
+        # device ops donate the cache, so this must run ON the loop thread
+        # (a quiescence check from this thread is inherently racy: the loop
+        # releases a slot BEFORE its post-chunk trim — _call_on_loop)
+        def body():
+            S = self.n_parallel
+            logits, _ = self.ops.step(
+                np.zeros((S, 1), np.int32), np.arange(S, dtype=np.int32),
+                np.zeros((S,), bool),
+            )
+            self.ops.pull(logits)
+
+        self._call_on_loop(body)
 
     # ------------------------------------------------------------- internals
     def _emit(self, task_id: int, res: TaskResult) -> None:
@@ -340,6 +374,11 @@ class InferenceEngine:
         while self._running:
             try:
                 t_it = time.time()
+                while self._loop_calls:
+                    with self._wake:
+                        calls, self._loop_calls = self._loop_calls, []
+                    for fn in calls:
+                        fn()
                 self._process_tasks()
                 t_tasks = time.time()
                 busy = any(s.is_processing() for s in self.slots)

@@ -69,12 +69,22 @@ class EngineOps:
         self._dev_state: DeviceSamplerState | None = None
         self._last_tok_dev = None
         self._sharding = None
+        self._row_sharding = None
         if mesh is not None and len(mesh.devices.flat) > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             # replicated global placement: required when the mesh spans
             # multiple processes (multi-host), harmless single-host
             self._sharding = NamedSharding(mesh, P())
+            from ..dist.tp import dp_degree
+
+            if dp_degree(mesh, self.n_slots) > 1:
+                # canonical placement for per-slot decode state (tokens,
+                # sampler params/state): leading S axis on "data" — the
+                # sharding dloop's outputs carry, so chained chunks reuse
+                # ONE executable signature instead of recompiling when a
+                # replicated reset feeds a P("data") chained call
+                self._row_sharding = NamedSharding(mesh, P("data"))
 
     # ------------------------------------------------------------- helpers
     def _note(self, desc: str) -> None:
@@ -93,6 +103,16 @@ class EngineOps:
         if self._sharding is not None:
             return jax.device_put(a, self._sharding)
         return jnp.asarray(a)
+
+    def _row_put(self, tree):
+        """Commit per-slot decode state to the canonical row sharding
+        (no-op leaves that already carry it, e.g. a previous chunk's
+        outputs)."""
+        if self._row_sharding is None:
+            return tree
+        return jax.tree.map(
+            lambda a: a if getattr(a, "sharding", None) == self._row_sharding
+            else jax.device_put(a, self._row_sharding), tree)
 
     # ------------------------------------------------------------ forward
     def step(self, tokens, slot_ids, active, n_valid=None,
@@ -143,6 +163,13 @@ class EngineOps:
             tokens_dev = self._arr(reset["pending"], np.int32)
         else:
             tokens_dev = self._last_tok_dev
+        if self._row_sharding is not None:
+            # one executable signature for every chunk (reset or chained):
+            # tokens + sampler params/state ride the "data"-sharded
+            # placement dloop's outputs already carry (ADVICE r3)
+            tokens_dev = self._row_put(tokens_dev)
+            self._dev_params = self._row_put(self._dev_params)
+            self._dev_state = self._row_put(self._dev_state)
         self._note(f"dloop[{S}x{n_inner}](kv={self.cache.kind},"
                    f"reset={reset is not None})")
         toks, self._last_tok_dev, self.cache, self._dev_state = self._dloop_fn(
@@ -179,7 +206,7 @@ class EngineOps:
 
     # -------------------------------------------------------- warm compile
     def warm_compile(self, prefill_buckets, chunk_sizes, threads: int = 8,
-                     singles: bool = True) -> None:
+                     singles: bool = True, runner=None) -> None:
         """Compile the serving executables CONCURRENTLY before traffic.
 
         Each job calls the same jitted callables the engine uses (identical
@@ -235,13 +262,28 @@ class EngineOps:
                 self.cfg, ga_n=self.ga_n, ga_w=self.ga_w,
                 rot_cache=self.rot_cache).compile()
 
-        params_s = jax.tree.map(sds, params_from_host([SamplingParams()] * S))
+        def sds_row(a):
+            # per-slot decode state lowers with the canonical "data"-row
+            # sharding under dp — the signature every live dloop call uses
+            # after _row_put (ADVICE r3: chained calls must not recompile)
+            if self._row_sharding is not None:
+                return jax.ShapeDtypeStruct(np.shape(a), a.dtype,
+                                            sharding=self._row_sharding)
+            return sds(a) if hasattr(a, "sharding") else \
+                jax.ShapeDtypeStruct(np.shape(a), a.dtype)
+
+        params_s = jax.tree.map(sds_row,
+                                params_from_host([SamplingParams()] * S))
         st = new_state(S, seed=0)
-        state_s = DeviceSamplerState(ring=sds(st.ring), keys=sds(st.keys))
+        state_s = DeviceSamplerState(ring=sds_row(st.ring),
+                                     keys=sds_row(st.keys))
+        tok_s = (jax.ShapeDtypeStruct((S,), np.int32,
+                                      sharding=self._row_sharding)
+                 if self._row_sharding is not None else i32((S,)))
 
         def chunk_job(n_inner):
             self._dloop_fn.lower(
-                weights_s, cache_s, i32((S,)), b8((S,)), self.cfg,
+                weights_s, cache_s, tok_s, b8((S,)), self.cfg,
                 params_s, state_s, int(n_inner),
                 ga_n=self.ga_n, ga_w=self.ga_w,
                 rot_cache=self.rot_cache).compile()
@@ -260,12 +302,19 @@ class EngineOps:
         # here overlaps it with the remaining compiles instead of letting
         # it land on the first fake warm-up request (or worse, a user's)
         single_step_job()
+
+        def first_exec():
+            # executes a live step (donates the cache) — `runner` lets the
+            # engine route it onto its loop thread so it cannot race an
+            # in-flight loop op (serve/engine.py _call_on_loop)
+            self.step(np.zeros((S, 1), np.int32),
+                      np.arange(S, dtype=np.int32), np.zeros((S,), bool))
+            self.pull(self._last_step_logits)
+
         with cf.ThreadPoolExecutor(max_workers=threads) as ex:
             futs = [ex.submit(fn, *a) for fn, a in jobs]
             try:
-                self.step(np.zeros((S, 1), np.int32),
-                          np.arange(S, dtype=np.int32), np.zeros((S,), bool))
-                self.pull(self._last_step_logits)
+                (runner or (lambda f: f()))(first_exec)
             finally:
                 for f in futs:
                     f.result()  # propagate compile errors

@@ -135,6 +135,13 @@ class EngineRegistry:
         n_dev = len(_jx.devices())
         tp_size = (n_dev // max(dp_size, 1) if str(tp_req) == "auto"
                    else int(tp_req))
+        if tp_size < 1 or dp_size < 1:
+            # "auto" with data_parallel > n_dev floors to 0, which would
+            # otherwise slip past the product guard (0 > n_dev is false)
+            # and build a zero-size "model" mesh axis
+            return False, (f"tensor_parallel={tp_size} x data_parallel="
+                           f"{dp_size} is not a valid grid for {n_dev} "
+                           f"attached devices")
         mesh = None
         if tp_size > 1 or dp_size > 1:
             from ..dist import tp as _tp
