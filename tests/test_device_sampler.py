@@ -49,7 +49,8 @@ def test_ring_local_penalties_match_reference():
         [42] * 20,
     ]
     state = new_state(S, seed=0)
-    state = state.__class__(ring=ring_from_tokens(hist, S), keys=state.keys)
+    state = state.__class__(ring=ring_from_tokens(hist, S), keys=state.keys,
+                            gstate=state.gstate)
     toks, _ = sample_step(jnp.asarray(logits), params, state)
     for s in range(S):
         ref = _ref_penalized(logits[s], hist[s], p)
@@ -75,10 +76,12 @@ def test_all_greedy_fast_path_matches_full_chain():
     assert not slow.all_greedy
 
     st = new_state(S, seed=1)
-    st = st.__class__(ring=ring_from_tokens(hist, S), keys=st.keys)
+    st = st.__class__(ring=ring_from_tokens(hist, S), keys=st.keys,
+                      gstate=st.gstate)
     t_fast, _ = sample_step(jnp.asarray(logits), fast, st)
     st2 = new_state(S, seed=1)
-    st2 = st2.__class__(ring=ring_from_tokens(hist, S), keys=st2.keys)
+    st2 = st2.__class__(ring=ring_from_tokens(hist, S), keys=st2.keys,
+                        gstate=st2.gstate)
     t_slow, _ = sample_step(jnp.asarray(logits), slow, st2)
     np.testing.assert_array_equal(np.asarray(t_fast), np.asarray(t_slow))
 
@@ -92,3 +95,42 @@ def test_ring_evolves_identically_on_fast_path():
     assert int(toks[0]) == 5
     assert int(st2.ring[0, -1]) == 5
     assert st2.ring.shape == (1, RING_LEN)
+
+
+def test_grammar_bank_masks_and_advances():
+    """sample_step with a GrammarBank: masked tokens never sampled, gstate
+    follows trans, row 0 passes everything through."""
+    import numpy as np
+
+    from tpu_engine.sampling.device import (
+        GrammarBank,
+        params_from_host,
+        new_state,
+        sample_step,
+    )
+
+    S, V, NS = 3, 16, 4
+    mask = np.ones((NS, V), bool)
+    trans = np.zeros((NS, V), np.int32)
+    # state 1: only tokens {3, 5} legal; 3 -> state 2, 5 -> state 3
+    mask[1] = False
+    mask[1, [3, 5]] = True
+    trans[1, 3], trans[1, 5] = 2, 3
+    # state 2: only token 7 legal, stays
+    mask[2] = False
+    mask[2, 7] = True
+    trans[2, 7] = 2
+    bank = GrammarBank(mask=jnp.asarray(mask), trans=jnp.asarray(trans))
+
+    logits = jnp.asarray(np.tile(np.linspace(0.0, 1.0, V), (S, 1)),
+                         jnp.float32)  # argmax = V-1 unmasked
+    params = params_from_host([SamplingParams(temperature=0.0)] * S)
+    st = new_state(S, seed=0)
+    st = st.__class__(ring=st.ring, keys=st.keys,
+                      gstate=jnp.asarray([0, 1, 2], jnp.int32))
+    toks, st2 = sample_step(logits, params, st, gbank=bank)
+    toks = np.asarray(toks)
+    assert toks[0] == V - 1      # pass-through row
+    assert toks[1] == 5          # best of {3, 5}
+    assert toks[2] == 7
+    np.testing.assert_array_equal(np.asarray(st2.gstate), [0, 3, 2])

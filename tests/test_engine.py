@@ -350,3 +350,69 @@ def test_two_prefill_groups_same_iteration(tmp_path):
         assert eng.max_first_groups_iter >= 2, eng.max_first_groups_iter
     finally:
         eng.shutdown()
+
+
+def test_grammar_device_lane_matches_host_lane(tmp_path_factory):
+    """DFA-compilable grammars decode ON DEVICE (grammar/dfa.py +
+    GrammarBank): same greedy tokens as the host-sampled lane, zero host
+    steps, and a second different grammar shares the bank."""
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    path = d + "/m.gguf"
+    build_test_gguf(path, "f32", seed=11)
+    g1 = 'root ::= ("yes" | "no" | " ")*\n'
+    g2 = 'root ::= [a-z]{1,6}\n'
+
+    def run(bank_rows):
+        eng = InferenceEngine(load_model(path), n_ctx=256, n_parallel=2,
+                              n_batch=64, prefill_buckets=(16,),
+                              grammar_bank_states=bank_rows)
+        try:
+            outs = []
+            for g in (g1, g2):
+                p = greedy(prompt="hello", n=24)
+                p.sampling.grammar = g
+                _, final = collect(eng, eng.request_completion(p))
+                outs.append(final.text)
+            return outs, eng.n_host_steps
+        finally:
+            eng.shutdown()
+
+    host_out, host_steps = run(0)     # bank disabled: host lane
+    dev_out, dev_steps = run(128)     # device lane
+    assert host_steps > 0
+    assert dev_steps == 0, "grammar slots fell back to the host lane"
+    assert dev_out == host_out
+    # outputs actually respect the grammars
+    import re
+
+    assert re.fullmatch(r"(yes|no| )*", dev_out[0]) is not None
+    assert re.fullmatch(r"[a-z]{1,6}", dev_out[1]) is not None
+
+
+def test_grammar_device_lane_mixed_batch(tmp_path_factory):
+    """A DFA-grammar slot and an unconstrained slot decode CONCURRENTLY on
+    the device lane (the reference collapses everyone to per-token host
+    sampling when any grammar is active)."""
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    path = d + "/m.gguf"
+    build_test_gguf(path, "f32", seed=12)
+    eng = InferenceEngine(load_model(path), n_ctx=256, n_parallel=2,
+                          n_batch=64, prefill_buckets=(16,))
+    try:
+        pg = greedy(prompt="hello", n=16)
+        pg.sampling.grammar = 'root ::= ("ab" | "cd")*\n'
+        pu = greedy(prompt="world", n=16)
+        t1, t2 = eng.request_completion(pg), eng.request_completion(pu)
+        _, f1 = collect(eng, t1)
+        _, f2 = collect(eng, t2)
+        import re
+
+        assert re.fullmatch(r"(ab|cd)*", f1.text) is not None
+        assert f2.tokens_predicted > 0
+        assert eng.n_host_steps == 0
+    finally:
+        eng.shutdown()

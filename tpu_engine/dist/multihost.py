@@ -93,7 +93,7 @@ class OpChannel:
 # ops that mutate shared device state and therefore must replay everywhere;
 # pulls are process-local and deliberately absent
 _REPLAYED = ("step", "dloop", "sample_first", "trim", "seq_cp",
-             "shift_compact", "clear_all")
+             "shift_compact", "clear_all", "set_grammar_bank")
 
 
 def _state_checksum(ops):
@@ -145,12 +145,20 @@ def _broadcast_ops_factory(channel: OpChannel):
                           {"reset": reset})
             return super().dloop(n_inner, active, reset=reset)
 
-        def sample_first(self, logits, by_slot, prevs, seed):
+        def sample_first(self, logits, by_slot, prevs, seed, gstate=None):
             # logits are process-local device state produced by the
             # broadcast `step`; every process re-derives them identically,
             # so only the host-side sampling inputs travel
-            self._publish("sample_first", (by_slot, prevs, int(seed)), {})
-            return super().sample_first(logits, by_slot, prevs, seed)
+            self._publish("sample_first", (by_slot, prevs, int(seed)),
+                          {"gstate": None if gstate is None
+                           else np.asarray(gstate)})
+            return super().sample_first(logits, by_slot, prevs, seed,
+                                        gstate=gstate)
+
+        def set_grammar_bank(self, mask, trans):
+            self._publish("set_grammar_bank",
+                          (np.asarray(mask), np.asarray(trans)), {})
+            super().set_grammar_bank(mask, trans)
 
         def trim(self, slot, n):
             self._publish("trim", (int(slot), int(n)), {})
@@ -281,7 +289,7 @@ def serve_follower(channel: OpChannel | None = None) -> None:
             # left them as the follower's last step output
             by_slot, prevs, _ = args
             ops.sample_first(ops._last_step_logits, by_slot, prevs,
-                             config["seed"])
+                             config["seed"], gstate=kwargs.get("gstate"))
             n_ops += 1
             continue
         if name not in _REPLAYED:

@@ -343,7 +343,7 @@ def make_tp_functions(mesh: Mesh, weights: dict, cfg):
                   n_valid, embd)
 
     def dloop(weights, cache, tokens, active, cfg_, samp_params, samp_state,
-              n_inner, ga_n=1, ga_w=0, rot_cache=False):
+              n_inner, ga_n=1, ga_w=0, rot_cache=False, gbank=None):
         dp = dp_degree(mesh, cache.lengths.shape[0])
         cspecs = _cache_specs(cache, dp)
         ga_n = jnp.asarray(ga_n, jnp.int32)
@@ -363,21 +363,24 @@ def make_tp_functions(mesh: Mesh, weights: dict, cfg):
             pspecs = jax.tree.map(lambda _: repl, samp_params)
             sspecs = jax.tree.map(lambda _: repl, samp_state)
             toks_out = last_out = repl
+        # grammar tables are shared lookup state: replicated on every shard
+        gspecs = (jax.tree.map(lambda _: repl, gbank)
+                  if gbank is not None else None)
 
-        def body(w, c, t, a, sp, st, gn, gw):
+        def body(w, c, t, a, sp, st, gn, gw, gb):
             return _decode_loop(w, c, t, a, cfg, sp, st, n_inner,
                                 ga_n=gn, ga_w=gw, tp_axis=AXIS,
-                                rot_cache=rot_cache)
+                                rot_cache=rot_cache, gbank=gb)
 
         sm = _shard_map(
             body, mesh=mesh,
             in_specs=(wspecs, cspecs, tok_spec, act_spec, pspecs, sspecs,
-                      repl, repl),
+                      repl, repl, gspecs),
             out_specs=(toks_out, last_out, cspecs, sspecs),
             check_vma=False,
         )
         return sm(weights, cache, tokens, active, samp_params, samp_state,
-                  ga_n, ga_w)
+                  ga_n, ga_w, gbank)
 
     fwd_jit = jax.jit(fwd, static_argnames=("cfg_", "collect_hidden",
                                             "rot_cache"),

@@ -436,13 +436,16 @@ def _decode_loop(
     ga_w: jax.Array | int = 0,
     tp_axis: str | None = None,
     rot_cache: bool = False,
+    gbank=None,  # sampling.device.GrammarBank | None
 ):
     """n_inner batched decode steps with ON-DEVICE sampling.
 
     One host round-trip yields [S, n_inner] tokens instead of one — the
     fixed-shape answer to per-token host sampling latency (SURVEY.md
-    section 7). The host applies stop/budget/grammar semantics afterwards
-    and trims any overrun cells with kvcache.trim.
+    section 7). The host applies stop/budget semantics afterwards and
+    trims any overrun cells with kvcache.trim. DFA-compiled grammars are
+    enforced IN the loop via gbank (sampling/device.py GrammarBank); only
+    non-determinizable grammars still need the host lane.
     """
     from ..sampling.device import sample_step
 
@@ -455,7 +458,7 @@ def _decode_loop(
             weights, cache, tok[:, None], slot_ids, active, cfg,
             ga_n=ga_n, ga_w=ga_w, tp_axis=tp_axis, rot_cache=rot_cache,
         )
-        nxt, st = sample_step(logits, samp_params, st)
+        nxt, st = sample_step(logits, samp_params, st, gbank=gbank)
         return (cache, nxt, st), nxt
 
     (cache, last, samp_state), toks = jax.lax.scan(

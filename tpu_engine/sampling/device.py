@@ -6,12 +6,18 @@ host link has latency (SURVEY.md section 7 "Host<->device per-token
 round-trip"). This module implements the common subset of the chain in
 vectorized jnp so the engine can sample N tokens on-device per round-trip:
 
-    penalties (repeat/freq/presence over a last-n ring)
+    grammar mask (byte-DFA bank, see GrammarBank)
+    -> penalties (repeat/freq/presence over a last-n ring)
     -> top_k -> top_p -> min_p -> temperature -> gumbel sample (or greedy)
 
 Per-slot parameters are arrays [S]; per-slot PRNG keys keep slots
-independent. Requests needing grammar, mirostat, typical_p, dynatemp,
-logit_bias, n_probs or a fixed seed fall back to the host chain.
+independent. Requests needing mirostat, typical_p, dynatemp, logit_bias,
+n_probs or a fixed seed fall back to the host chain. GBNF grammars that
+determinize (grammar/dfa.py) run HERE at full device speed — per-slot DFA
+state rides DeviceSamplerState and the mask is one row-gather from a
+fixed-shape GrammarBank, so grammar requests never force the per-token
+host round-trip the reference pays (llama_server_context.cc:1680-1698).
+Recursive grammars still fall back to the host lane.
 """
 
 from __future__ import annotations
@@ -29,10 +35,11 @@ RING_LEN = 64  # penalty window (reference default repeat_last_n=64)
 
 
 def device_compatible(p: SamplingParams) -> bool:
-    """Can this request's sampling run fully on-device?"""
+    """Can this request's sampling run fully on-device? (Grammar is
+    decided separately: a DFA-compilable grammar runs on device via
+    GrammarBank; the serving layer checks that — serve/engine.py.)"""
     return (
-        not p.grammar
-        and p.n_probs == 0
+        p.n_probs == 0
         and p.mirostat == 0
         and p.typical_p >= 1.0
         and p.dynatemp_range == 0.0
@@ -51,13 +58,103 @@ class DeviceSamplerState:
 
     ring: jax.Array  # [S, RING_LEN] int32, -1 = empty (penalty window)
     keys: jax.Array  # [S, 2] uint32 PRNG keys
+    gstate: jax.Array  # [S] int32 grammar-DFA bank row (0 = unconstrained)
 
     def tree_flatten(self):
-        return (self.ring, self.keys), None
+        return (self.ring, self.keys, self.gstate), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class GrammarBank:
+    """Token-level grammar tables shared by all slots, FIXED shape so the
+    decode executables never re-specialize when grammars come and go.
+
+    Row 0 is the pass-through state (mask all-True, trans -> 0) —
+    unconstrained slots just sit there. Each active DFA grammar occupies a
+    contiguous row range; a slot's DeviceSamplerState.gstate indexes
+    absolute rows. mask[s, v]: token v legal from state s; trans[s, v]:
+    next state. The per-step cost is one [S]-row gather from each table —
+    independent of the bank's row count."""
+
+    mask: jax.Array  # [NS, V] bool
+    trans: jax.Array  # [NS, V] int32
+
+    def tree_flatten(self):
+        return (self.mask, self.trans), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def n_states(self) -> int:
+        return self.mask.shape[0]
+
+
+def passthrough_bank(n_vocab: int, n_states: int = 1) -> GrammarBank:
+    """All-rows-pass bank of the engine's fixed size (rows beyond 0 are
+    overwritten when grammars install, serve/engine.py)."""
+    return GrammarBank(
+        mask=jnp.ones((n_states, n_vocab), bool),
+        trans=jnp.zeros((n_states, n_vocab), jnp.int32),
+    )
+
+
+@jax.jit
+def _expand_tables_jit(byte_trans, accept, pieces, lens, eog_cols):
+    """Token-level tables from a byte DFA — the fold of every token's
+    piece bytes through trans, vmapped over states, runs ON DEVICE (a
+    [ns, V, Lmax]-gather problem XLA handles in microseconds; the numpy
+    oracle is grammar/dfa.py::expand_token_tables_np)."""
+    ns = byte_trans.shape[0]
+    V = pieces.shape[0]
+    dead = ns - 1
+
+    def fold(cur, j):
+        b = pieces[:, j].astype(jnp.int32)  # [V]
+        step = byte_trans[cur, b]
+        cur = jnp.where(j < lens, step, cur)
+        return cur, None
+
+    def per_state(s0):
+        cur0 = jnp.full((V,), s0, jnp.int32)
+        cur, _ = jax.lax.scan(fold, cur0, jnp.arange(pieces.shape[1]))
+        return cur
+
+    cur = jax.vmap(per_state)(jnp.arange(ns, dtype=jnp.int32))  # [ns, V]
+    mask = (cur != dead) & (lens[None, :] > 0)
+    trans = jnp.where(mask, cur, dead).astype(jnp.int32)
+    if eog_cols.size:
+        rows = jnp.arange(ns, dtype=jnp.int32)
+        mask = mask.at[:, eog_cols].set(accept[:, None])
+        trans = trans.at[:, eog_cols].set(rows[:, None])
+    return mask, trans
+
+
+def expand_token_tables(dfa, tok, n_cols: int | None = None):
+    """Device expansion of a ByteDFA into (mask [ns, V], trans [ns, V])."""
+    from ..grammar.dfa import eog_token_ids, piece_tables
+
+    pieces, lens = piece_tables(tok)
+    eog = np.asarray([t for t in eog_token_ids(tok)
+                      if t < pieces.shape[0]], np.int32)
+    mask, trans = _expand_tables_jit(
+        jnp.asarray(dfa.trans), jnp.asarray(dfa.accept),
+        jnp.asarray(pieces), jnp.asarray(lens), eog)
+    V = n_cols if n_cols is not None else pieces.shape[0]
+    if V > pieces.shape[0]:  # logits padded beyond the vocab
+        pad = V - pieces.shape[0]
+        mask = jnp.concatenate(
+            [mask, jnp.zeros((dfa.n_states, pad), bool)], axis=1)
+        trans = jnp.concatenate(
+            [trans, jnp.full((dfa.n_states, pad), dfa.dead, jnp.int32)],
+            axis=1)
+    return mask, trans
 
 
 @jax.tree_util.register_pytree_node_class
@@ -90,13 +187,16 @@ class DeviceSamplerParams:
         return cls(*children, all_greedy=aux[0] if aux else False)
 
 
-def new_state(n_slots: int, seed: int = 0) -> DeviceSamplerState:
+def new_state(n_slots: int, seed: int = 0,
+              gstate=None) -> DeviceSamplerState:
     keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.PRNGKey(seed), i))(
         jnp.arange(n_slots)
     )
     return DeviceSamplerState(
         ring=jnp.full((n_slots, RING_LEN), -1, jnp.int32),
         keys=keys,
+        gstate=(jnp.zeros((n_slots,), jnp.int32) if gstate is None
+                else jnp.asarray(gstate, jnp.int32)),
     )
 
 
@@ -135,10 +235,22 @@ def sample_step(
     logits: jax.Array,  # [S, V] f32
     params: DeviceSamplerParams,
     state: DeviceSamplerState,
+    gbank: GrammarBank | None = None,
 ) -> tuple[jax.Array, DeviceSamplerState]:
     """One sampling step for all slots; returns tokens [S] + new state."""
     S, V = logits.shape
     ring = state.ring
+    if gbank is not None:
+        # grammar mask FIRST (reference order: the grammar constrains the
+        # candidate set before the samplers, llama.cpp common_sampler);
+        # unconstrained slots sit on the all-pass row 0
+        allow = gbank.mask[state.gstate]  # [S, V]
+        logits = jnp.where(allow, logits, -jnp.inf)
+
+    def advance_gstate(tokens):
+        if gbank is None:
+            return state.gstate
+        return gbank.trans[state.gstate, tokens]
 
     # --- penalties over the ring window (reference chain order) ----------
     # Ring-local: only the <= RING_LEN distinct penalized tokens can change,
@@ -169,7 +281,8 @@ def sample_step(
         # only when every slot is greedy)
         tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         new_ring = jnp.concatenate([ring[:, 1:], tokens[:, None]], axis=1)
-        return tokens, DeviceSamplerState(ring=new_ring, keys=state.keys)
+        return tokens, DeviceSamplerState(ring=new_ring, keys=state.keys,
+                                          gstate=advance_gstate(tokens))
 
     # --- top-k capture ----------------------------------------------------
     v, idx = jax.lax.top_k(logits, DEVICE_TOP_K)  # [S, DK] sorted desc
@@ -198,4 +311,5 @@ def sample_step(
     tokens = idx[jnp.arange(S), choice].astype(jnp.int32)
 
     new_ring = jnp.concatenate([ring[:, 1:], tokens[:, None]], axis=1)
-    return tokens, DeviceSamplerState(ring=new_ring, keys=new_keys)
+    return tokens, DeviceSamplerState(ring=new_ring, keys=new_keys,
+                                      gstate=advance_gstate(tokens))

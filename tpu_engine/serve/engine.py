@@ -81,6 +81,7 @@ class InferenceEngine:
         decode_chunk: int | None = None,
         mesh=None,  # jax Mesh with a "model" axis: tensor-parallel serving
         ops_factory=None,  # dist/multihost.py: broadcasting EngineOps
+        grammar_bank_states: int | None = None,  # 0/1 = host-lane grammars
     ):
         from ..utils.jaxinit import setup_compilation_cache
 
@@ -147,6 +148,24 @@ class InferenceEngine:
         else:
             self.ops = EngineOps(model, self.cfg, cache, step_fn, dloop_fn,
                                  grp_attn_n, grp_attn_w, mesh)
+        # on-device grammar bank (sampling/device.py GrammarBank): FIXED
+        # row count so grammars installing mid-serving never change an
+        # executable signature. Row 0 = pass-through; DFA-compiled
+        # grammars (grammar/dfa.py) occupy row ranges; 0/1 disables and
+        # every grammar request falls back to the host lane.
+        self._gbank_rows = (int(grammar_bank_states)
+                            if grammar_bank_states is not None else
+                            int(os.environ.get("TPU_ENGINE_GRAMMAR_STATES",
+                                               "128")))
+        self._gbank_vocab = int(self.cfg.n_vocab)
+        self._gdfa_cache: dict[str, tuple | None] = {}  # text -> tables|None
+        self._gactive: dict[str, list] = {}  # text -> [offset, n_states]
+        if self._gbank_rows > 1:
+            self.ops.set_grammar_bank(
+                np.ones((self._gbank_rows, self._gbank_vocab), bool),
+                np.zeros((self._gbank_rows, self._gbank_vocab), np.int32))
+            self._gbank_mask = None  # numpy master, built lazily
+            self._gbank_trans = None
         self._dev_sig = None
         # in-flight speculative decode chunks, oldest first (_decode_multi).
         # Depth 2 keeps the device queue non-empty across the dispatch RTT
@@ -361,6 +380,78 @@ class InferenceEngine:
 
         self._call_on_loop(body)
 
+    # -------------------------------------------------- on-device grammar
+    def _grammar_register(self, grammar_text: str) -> int | None:
+        """Install a grammar's token tables into the shared GrammarBank.
+
+        Returns the slot's START row (absolute), or None when the grammar
+        does not determinize / the bank is full — callers fall back to the
+        host-sampled lane. Tables are cached per grammar text; stale
+        entries (no active slot) are evicted when space runs out."""
+        if self._gbank_rows <= 1:
+            return None
+        ent = self._gactive.get(grammar_text)
+        if ent is not None:
+            return ent[0]
+        tabs = self._gdfa_cache.get(grammar_text, False)
+        if tabs is False:
+            from ..grammar.dfa import compile_byte_dfa, expand_token_tables_np
+
+            dfa = compile_byte_dfa(grammar_text,
+                                   max_states=self._gbank_rows - 2)
+            tabs = None
+            if dfa is not None:
+                mask, trans = expand_token_tables_np(
+                    dfa, self.tok, n_cols=self._gbank_vocab)
+                tabs = (mask, trans)
+            self._gdfa_cache[grammar_text] = tabs
+        if tabs is None:
+            return None
+        mask, trans = tabs
+        ns = mask.shape[0]
+        used = sum(e[1] for e in self._gactive.values())
+        if 1 + used + ns > self._gbank_rows:
+            # evict grammars no ACTIVE slot references, then retry once
+            live = {getattr(s, "gtext", None) for s in self.slots
+                    if s.is_processing()}
+            self._gactive = {t: e for t, e in self._gactive.items()
+                             if t in live}
+            used = sum(e[1] for e in self._gactive.values())
+            if 1 + used + ns > self._gbank_rows:
+                return None  # genuinely full: host lane
+            self._rebuild_gbank()
+        off = self._gbank_alloc(ns)
+        self._gactive[grammar_text] = [off, ns]
+        self._gbank_mask[off:off + ns] = mask
+        self._gbank_trans[off:off + ns] = trans + off  # absolute rows
+        self.ops.set_grammar_bank(self._gbank_mask, self._gbank_trans)
+        return off  # dfa.start == 0 by construction
+
+    def _gbank_alloc(self, ns: int) -> int:
+        if self._gbank_mask is None:
+            self._gbank_mask = np.ones(
+                (self._gbank_rows, self._gbank_vocab), bool)
+            self._gbank_trans = np.zeros(
+                (self._gbank_rows, self._gbank_vocab), np.int32)
+        taken = sorted((e[0], e[0] + e[1]) for e in self._gactive.values())
+        off = 1  # row 0 = pass-through
+        for lo, hi in taken:
+            if off + ns <= lo:
+                break
+            off = max(off, hi)
+        return off
+
+    def _rebuild_gbank(self) -> None:
+        """Compact the numpy master after eviction (active slots keep
+        their rows: eviction only removes grammars with NO active slot, so
+        no live gstate can dangle; freed rows are reset to pass-through)."""
+        keep = np.zeros((self._gbank_rows,), bool)
+        keep[0] = True
+        for off, ns in self._gactive.values():
+            keep[off:off + ns] = True
+        self._gbank_mask[~keep] = True
+        self._gbank_trans[~keep] = 0
+
     # ------------------------------------------------------------- internals
     def _emit(self, task_id: int, res: TaskResult) -> None:
         with self._results_lock:
@@ -539,6 +630,7 @@ class InferenceEngine:
         """Reference: LaunchSlotWithData (:434-641)."""
         p = task.params
         sampler = Sampler(p.sampling, self.cfg.n_vocab, eos_id=self.tok.eos_id)
+        gstart = None
         if p.sampling.grammar or p.json_schema:
             from ..grammar import build_matcher
 
@@ -548,7 +640,13 @@ class InferenceEngine:
 
                 grammar_src = json_schema_to_grammar(p.json_schema)
             sampler.grammar_matcher = build_matcher(grammar_src, self.tok)
+            # DFA-compilable grammars decode ON DEVICE (grammar/dfa.py +
+            # GrammarBank); the host matcher stays as the done()/can_stop
+            # mirror. Recursive grammars return None -> host lane.
+            gstart = self._grammar_register(grammar_src)
         slot.launch(task.id, p, sampler, StreamDetokenizer(self.tok))
+        slot.gstate = gstart  # absolute bank row; None = host-lane grammar
+        slot.gtext = grammar_src if gstart is not None else None
 
         # multimodal prompt: split at [img-N] markers into text/image
         # segments (reference :1131-1150 multiprompt split + IngestImages)
@@ -837,8 +935,7 @@ class InferenceEngine:
             finishers.append(s)
         if not finishers:
             return
-        if all(device_compatible(s.params.sampling)
-               and s.sampler.grammar_matcher is None for s in finishers):
+        if all(self._on_device(s) for s in finishers):
             # first tokens sampled on device and left there: the decode
             # chunk chains from the device array without a host round-trip
             # (the blocking [S, V] pull serialized prefill completion into
@@ -846,11 +943,13 @@ class InferenceEngine:
             # first chunk is already running
             by_slot = [None] * S
             prevs: list[list[int]] = [[] for _ in range(S)]
+            gstate = np.zeros((S,), np.int32)
             for s in finishers:
                 by_slot[s.id] = s.params.sampling
                 prevs[s.id] = s.sampler.prev
+                gstate[s.id] = s.gstate or 0
             toks_dev = self.ops.sample_first(logits, by_slot, prevs,
-                                             self._dev_seed)
+                                             self._dev_seed, gstate=gstate)
             # several groups can prefill in ONE iteration (one per bucket):
             # settle the previous group's device-resident first tokens
             # before overwriting the handle, or its finishers would stay
@@ -1025,18 +1124,22 @@ class InferenceEngine:
             if s.state == SlotState.GENERATING and s.task_id == tid:
                 self._process_token(s, int(toks[s.id]))
 
+    def _on_device(self, s: Slot) -> bool:
+        """Fully-on-device decode for this slot? Grammar requests qualify
+        when their grammar determinized into the GrammarBank (gstate set at
+        launch); only non-DFA grammars force the host lane."""
+        return (device_compatible(s.params.sampling)
+                and (s.sampler.grammar_matcher is None
+                     or s.gstate is not None))
+
     def _decode_step(self) -> None:
         gen = [s for s in self.slots if s.state == SlotState.GENERATING]
         if not gen:
             self._consume_pending_first()
             return
 
-        def on_device(s: Slot) -> bool:
-            return (device_compatible(s.params.sampling)
-                    and s.sampler.grammar_matcher is None)
-
-        dev_gen = [s for s in gen if on_device(s)]
-        host_gen = [s for s in gen if not on_device(s)]
+        dev_gen = [s for s in gen if self._on_device(s)]
+        host_gen = [s for s in gen if not self._on_device(s)]
         n_inner = self._pick_chunk(dev_gen) if dev_gen else 1
         if dev_gen and n_inner > 1:
             # TWO LANES: device-compatible slots keep chunked pipelined
@@ -1156,12 +1259,14 @@ class InferenceEngine:
             by_slot = [None] * S
             prevs: list[list[int]] = [[] for _ in range(S)]
             pending = np.zeros((S,), np.int32)
+            gstate = np.zeros((S,), np.int32)
             for s in gen:
                 by_slot[s.id] = s.params.sampling
                 prevs[s.id] = s.sampler.prev
                 pending[s.id] = s.generated_tokens[-1]
+                gstate[s.id] = s.gstate or 0
             reset = {"pending": pending, "by_slot": by_slot, "prevs": prevs,
-                     "seed": self._dev_seed}
+                     "seed": self._dev_seed, "gstate": gstate}
             self._dev_sig = sig
         toks_dev = self.ops.dloop(n_inner, active_np, reset=reset)
         self._spec_q.append({"sig": sig, "toks": toks_dev, "n_inner": n_inner})
@@ -1246,6 +1351,10 @@ class InferenceEngine:
         """Reference: ProcessToken (:716-813)."""
         s.generated_tokens.append(token)
         s.sampler.accept(token)
+        if s.gstate is not None:
+            # mirror the device DFA advance (the next dloop RESET re-seeds
+            # DeviceSamplerState.gstate from this)
+            s.gstate = int(self._gbank_trans[s.gstate, token])
         s.timings.predicted_n += 1
         if s.n_remaining > 0:
             s.n_remaining -= 1

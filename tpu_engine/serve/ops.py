@@ -48,7 +48,8 @@ class EngineOps:
     _TRAIL = 6
 
     def __init__(self, model, cfg, cache, step_fn, dloop_fn, ga_n, ga_w,
-                 mesh=None):
+                 mesh=None, gbank=None):
+        self._gbank = gbank  # sampling.device.GrammarBank | None
         self._recent_ops: list[str] = []
         self.model = model
         self.cfg = cfg
@@ -145,8 +146,9 @@ class EngineOps:
 
         reset: {"pending": [S] int32 feed tokens, "by_slot": [SamplingParams
         or None per slot], "prevs": [S][int] accepted-token tails, "seed":
-        int} rebuilds the device sampler chain; None chains the previous
-        chunk's last token (which never left the device)."""
+        int, "gstate": [S] int32 grammar-bank rows (optional)} rebuilds the
+        device sampler chain; None chains the previous chunk's last token
+        (which never left the device)."""
         S = self.n_slots
         if reset is not None:
             self._dev_params = params_from_host(reset["by_slot"])
@@ -155,7 +157,9 @@ class EngineOps:
             self._dev_state = DeviceSamplerState(
                 ring=self._arr(np.asarray(
                     ring_from_tokens(reset["prevs"], S))),
-                keys=keys)
+                keys=keys,
+                gstate=self._arr(reset.get("gstate") if reset.get("gstate")
+                                 is not None else np.zeros(S), np.int32))
             if self._sharding is not None:
                 self._dev_params = jax.tree.map(
                     lambda a: jax.device_put(np.asarray(a), self._sharding),
@@ -177,32 +181,50 @@ class EngineOps:
             self._arr(active, bool), self.cfg,
             self._dev_params, self._dev_state, n_inner,
             ga_n=self.ga_n, ga_w=self.ga_w, rot_cache=self.rot_cache,
+            gbank=self._gbank,
         )
         return toks
 
-    def sample_first(self, logits, by_slot, prevs, seed: int):
+    def sample_first(self, logits, by_slot, prevs, seed: int, gstate=None):
         """Sample one token per slot ON DEVICE from prefill logits [S, V];
         returns the [S] int32 DEVICE array (pull it with ops.pull when the
         host needs the values — the next decode chunk can chain from it
         without any round-trip, see dloop's reset=None path). Installs the
         sampler params/state so that chaining works, and advances the
         shared device PRNG keys. Callers must gate on device_compatible
-        for every sampled slot."""
+        for every sampled slot. gstate: per-slot grammar-bank rows."""
         S = self.n_slots
         params = params_from_host(by_slot)
         keys = (self._dev_state.keys if self._dev_state is not None
                 else self._arr(np.asarray(new_state(S, seed=seed).keys)))
         state = DeviceSamplerState(
             ring=self._arr(np.asarray(ring_from_tokens(prevs, S))),
-            keys=keys)
+            keys=keys,
+            gstate=self._arr(gstate if gstate is not None else np.zeros(S),
+                             np.int32))
         if self._sharding is not None:
             params = jax.tree.map(
                 lambda a: jax.device_put(np.asarray(a), self._sharding),
                 params)
-        toks, self._dev_state = _sample_first_jit(logits, params, state)
+        toks, self._dev_state = _sample_first_jit(logits, params, state,
+                                                  gbank=self._gbank)
         self._dev_params = params
         self._last_tok_dev = toks
         return toks
+
+    # ------------------------------------------------------- grammar bank
+    def set_grammar_bank(self, mask, trans) -> None:
+        """Install/refresh the shared grammar tables (numpy [NS, V] bool /
+        int32). NS must stay constant per engine (fixed executable
+        shapes); the engine pre-sizes the bank at construction."""
+        from ..sampling.device import GrammarBank
+
+        if self._gbank is not None and mask.shape != self._gbank.mask.shape:
+            raise ValueError(
+                f"grammar bank shape {mask.shape} != engine's fixed "
+                f"{self._gbank.mask.shape} (serve/engine.py sizes it once)")
+        self._gbank = GrammarBank(mask=self._arr(mask, bool),
+                                  trans=self._arr(trans, np.int32))
 
     # -------------------------------------------------------- warm compile
     def warm_compile(self, prefill_buckets, chunk_sizes, threads: int = 8,
@@ -276,7 +298,10 @@ class EngineOps:
                                 params_from_host([SamplingParams()] * S))
         st = new_state(S, seed=0)
         state_s = DeviceSamplerState(ring=sds_row(st.ring),
-                                     keys=sds_row(st.keys))
+                                     keys=sds_row(st.keys),
+                                     gstate=sds_row(st.gstate))
+        gbank_s = (None if self._gbank is None
+                   else jax.tree.map(sds, self._gbank))
         tok_s = (jax.ShapeDtypeStruct((S,), np.int32,
                                       sharding=self._row_sharding)
                  if self._row_sharding is not None else i32((S,)))
@@ -286,7 +311,7 @@ class EngineOps:
                 weights_s, cache_s, tok_s, b8((S,)), self.cfg,
                 params_s, state_s, int(n_inner),
                 ga_n=self.ga_n, ga_w=self.ga_w,
-                rot_cache=self.rot_cache).compile()
+                rot_cache=self.rot_cache, gbank=gbank_s).compile()
 
         jobs = []
         for b in prefill_buckets:

@@ -54,6 +54,11 @@ class Slot:
     probs_sent: int = 0  # probs already emitted in stream partials
     # (reference sent_token_probs_index, llama_server_context.cc:937-948)
 
+    # on-device grammar: absolute GrammarBank row of the slot's CURRENT
+    # DFA state (host mirror of DeviceSamplerState.gstate, advanced as
+    # tokens are processed); None = no grammar or host-lane grammar
+    gstate: int | None = None
+
     # embeddings
     embed_sum: list | None = None
     embed_count: int = 0
@@ -98,6 +103,7 @@ class Slot:
         self.truncated = False
         self.probs_out = []
         self.probs_sent = 0
+        self.gstate = None
         self.embed_sum = None
         self.embed_count = 0
         self.timings = Timings()
