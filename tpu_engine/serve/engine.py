@@ -112,9 +112,11 @@ class InferenceEngine:
         # psums, slots shard over the optional "data" axis (dist/tp.py);
         # weights must be loaded with TPSharder(mesh) when model > 1
         self.mesh = mesh
-        if mesh is not None and (
-                mesh.shape.get("model", 1) > 1
-                or dict(mesh.shape).get("data", 1) > 1):
+        if mesh is not None:
+            # ANY explicit mesh routes through the shard_map step functions
+            # — including a degenerate (1,1) mesh, so the TP/DP code path
+            # gets real-silicon coverage on a single chip (hw_smoke.py
+            # SMOKE_TP=1; VERDICT r3 #8)
             from ..dist import tp
 
             model.weights = tp.place_aux_weights(model.weights, mesh)

@@ -40,6 +40,23 @@ def setup_compilation_cache(path: str | None = None) -> str | None:
             return cache_dir
         import jax
 
+        if jax.default_backend() == "cpu":
+            # CPU executables are AOT-compiled FOR THE BUILD HOST's exact
+            # CPU features; reloading them on a different host SIGILLs or
+            # aborts mid-run (xla cpu_aot_loader warns, then dies — seen
+            # as intermittent SIGABRT in pjit __call__). Key the cache by
+            # a host fingerprint so entries never cross machines.
+            import hashlib
+            import platform
+
+            try:
+                with open("/proc/cpuinfo") as f:
+                    flags = next((ln for ln in f if ln.startswith("flags")),
+                                 platform.processor())
+            except OSError:
+                flags = platform.processor()
+            fp = hashlib.sha1(str(flags).encode()).hexdigest()[:12]
+            cache_dir = os.path.join(cache_dir, f"cpu-{fp}")
         try:
             os.makedirs(cache_dir, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", cache_dir)
