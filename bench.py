@@ -159,6 +159,32 @@ def main() -> int:
             for line in extras:
                 print(f"[extra] {json.dumps(line)}", file=sys.stderr)
 
+    # perplexity quality gate (BASELINE.md): report the committed at-scale
+    # artifact (scripts/ppl_gate.py writes PPL_r{N}.json) as pass/fail —
+    # weight-quant delta < 5% relative, KV-quant deltas < 2% on top
+    ppls = sorted(f for f in os.listdir(_DIR)
+                  if f.startswith("PPL_r") and f.endswith(".json"))
+    if ppls:
+        try:
+            with open(os.path.join(_DIR, ppls[-1])) as f:
+                gate = json.load(f)
+            d = gate["detail"]
+            base = d["f32+kv_f16"]["ppl"]
+            q4 = d["q4_k_m+kv_f16"]["ppl"]
+            ok = abs(q4 - base) / base < 0.05
+            for kv in ("q8_0", "q4_0"):
+                k = f"q4_k_m+kv_{kv}"
+                if k in d:
+                    ok = ok and abs(d[k]["ppl"] - q4) / q4 < 0.02
+            print(f"[ppl gate {ppls[-1]}: {'PASS' if ok else 'FAIL'} "
+                  f"(dppl {gate['value']:+.3f}%)]", file=sys.stderr)
+            if not ok:
+                print(json.dumps({"metric": "ppl_gate", "value": 0,
+                                  "unit": "bool", "vs_baseline": 0.0}))
+                return 1
+        except Exception as e:  # noqa: BLE001
+            print(f"[ppl gate unreadable: {e}]", file=sys.stderr)
+
     print(json.dumps(headline))
     return 0
 
@@ -251,13 +277,18 @@ def run_extra_configs() -> list:
                           prefill_buckets=(16,), grp_attn_n=2, grp_attn_w=256)
     try:
         eng.warm_up()
+        # ignore_eos pins the workload at the full 600 tokens: the grammar
+        # allows EOG at every accept state, and with synthetic weights a
+        # greedy EOG pick would otherwise end the run after a few tokens —
+        # a latency artifact, not a throughput measurement
+        xsp = SamplingParams(temperature=0.0, ignore_eos=True)
         # plain run first: the denominator (same engine, no grammar) so
         # vs_baseline reports the true cost of the grammar lane
         t0 = time.time()
         r = drain(eng, eng.request_completion(CompletionParams(
-            prompt="start", n_predict=600, sampling=sp, cache_prompt=False)))
+            prompt="start", n_predict=600, sampling=xsp, cache_prompt=False)))
         plain_rate = r.tokens_predicted / max(time.time() - t0, 1e-9)
-        gsp = SamplingParams(temperature=0.0,
+        gsp = SamplingParams(temperature=0.0, ignore_eos=True,
                              grammar='root ::= ("yes" | "no" | " ")*\n')
         t0 = time.time()
         # 600 tokens through a 512-cell window forces ctx shifts mid-run

@@ -134,3 +134,30 @@ def test_grammar_bank_masks_and_advances():
     assert toks[1] == 5          # best of {3, 5}
     assert toks[2] == 7
     np.testing.assert_array_equal(np.asarray(st2.gstate), [0, 3, 2])
+
+
+def test_ignore_eos_bans_eog_columns_per_slot():
+    """ignore_eos runs ON DEVICE (device_compatible) by banning the
+    tokenizer's EOG columns for exactly the slots that set it."""
+    V, S = 64, 3
+    eos = V - 1
+    p_ban = SamplingParams(temperature=0.0, ignore_eos=True)
+    p_keep = SamplingParams(temperature=0.0)
+    params = params_from_host([p_ban, p_keep, None], eog_ids=(eos,))
+    logits = np.zeros((S, V), np.float32)
+    logits[:, eos] = 10.0  # EOG is argmax everywhere
+    logits[:, 7] = 5.0
+    state = new_state(S, seed=0)
+    toks, _ = sample_step(jnp.asarray(logits), params, state)
+    assert int(toks[0]) == 7        # banned -> runner-up
+    assert int(toks[1]) == eos      # untouched
+    assert int(toks[2]) == eos      # idle default: no ban
+
+
+def test_ignore_eos_device_compatible_gate():
+    from tpu_engine.sampling.device import device_compatible
+
+    p = SamplingParams(temperature=0.0, ignore_eos=True)
+    assert device_compatible(p, eog_ok=True)
+    assert not device_compatible(p, eog_ok=False)
+    assert device_compatible(SamplingParams(), eog_ok=False)

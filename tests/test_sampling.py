@@ -113,3 +113,16 @@ def test_typical_p():
     s = Sampler(SamplingParams(top_k=0, top_p=1.0, min_p=0.0, typical_p=0.5, seed=0), V)
     seen = {s.sample(logits) for _ in range(100)}
     assert seen <= set(range(10))
+
+
+def test_ignore_eos_bans_full_eog_set():
+    """ignore_eos must ban EVERY end-of-generation id (eot/eom/flagged
+    extras), not just eos — a grammar/model ranking a non-eos EOG first
+    would otherwise stop generation despite ignore_eos."""
+    params = SamplingParams(temperature=0.0, ignore_eos=True)
+    s = Sampler(params, V, eos_id=V - 1, eog_ids=(V - 1, V - 3))
+    # ramp: V-1 is argmax, V-2 runner-up, V-3 next — both EOGs banned
+    assert s.sample(logits_ramp()) == V - 2
+    logits = logits_ramp()
+    logits[V - 2] = -1e9
+    assert s.sample(logits) == V - 4

@@ -63,10 +63,15 @@ class Sampler:
     """Per-slot sampler state machine (reference: common_sampler per slot,
     llama_client_slot.h:136-137)."""
 
-    def __init__(self, params: SamplingParams, n_vocab: int, eos_id: int = -1):
+    def __init__(self, params: SamplingParams, n_vocab: int, eos_id: int = -1,
+                 eog_ids: tuple = ()):
         self.params = params
         self.n_vocab = n_vocab
         self.eos_id = eos_id
+        # FULL end-of-generation set (eos + eot + eom + flagged extras):
+        # ignore_eos must ban every token the engine treats as EOG, or a
+        # grammar/model that ranks a non-eos EOG first still stops
+        self.eog_ids = tuple(t for t in (eog_ids or (eos_id,)) if t >= 0)
         seed = params.seed if params.seed is not None and params.seed >= 0 else None
         self.rng = np.random.default_rng(seed)
         self.prev: list[int] = []
@@ -183,8 +188,10 @@ class Sampler:
                     logits[int(tok)] = -np.inf
                 else:
                     logits[int(tok)] += bias
-        if p.ignore_eos and self.eos_id >= 0:
-            logits[self.eos_id] = -np.inf
+        if p.ignore_eos:
+            for t in self.eog_ids:
+                if t < logits.size:
+                    logits[t] = -np.inf
 
         self._apply_penalties(logits)
 

@@ -34,17 +34,21 @@ DEVICE_TOP_K = 64  # top-k capture width on device
 RING_LEN = 64  # penalty window (reference default repeat_last_n=64)
 
 
-def device_compatible(p: SamplingParams) -> bool:
+def device_compatible(p: SamplingParams, eog_ok: bool = True) -> bool:
     """Can this request's sampling run fully on-device? (Grammar is
     decided separately: a DFA-compilable grammar runs on device via
-    GrammarBank; the serving layer checks that — serve/engine.py.)"""
+    GrammarBank; the serving layer checks that — serve/engine.py.)
+
+    eog_ok: the engine knows its tokenizer's EOG token ids, so the
+    device chain can honor ignore_eos by banning those columns
+    (sample_step); a tokenizer with no EOG ids keeps the host lane."""
     return (
         p.n_probs == 0
         and p.mirostat == 0
         and p.typical_p >= 1.0
         and p.dynatemp_range == 0.0
         and not p.logit_bias
-        and not p.ignore_eos
+        and (not p.ignore_eos or eog_ok)
         and (p.seed is None or p.temperature <= 0)
         and (p.top_k <= DEVICE_TOP_K or p.temperature <= 0)
         and p.repeat_last_n <= RING_LEN
@@ -170,21 +174,28 @@ class DeviceSamplerParams:
     freq_penalty: jax.Array
     presence_penalty: jax.Array
     penalty_last_n: jax.Array
+    # [S] bool: ban the EOG columns for this slot (reference ignore_eos,
+    # llama_server_context.cc "ignore_eos" -> logit_bias[eos] = -inf)
+    ignore_eos: jax.Array | None = None
     # STATIC fast-path flag (pytree aux, so flipping it retraces): every
     # slot greedy -> sample_step skips the vocab-wide top_k sort, the
     # softmax filters and the gumbel draw — a penalized argmax remains.
     all_greedy: bool = False
+    # STATIC tokenizer EOG token ids the ignore_eos ban targets (tuple so
+    # the jit cache keys on it; same for every request of one engine)
+    eog_cols: tuple = ()
 
     def tree_flatten(self):
         return (
             self.temp, self.top_k, self.top_p, self.min_p,
             self.repeat_penalty, self.freq_penalty, self.presence_penalty,
-            self.penalty_last_n,
-        ), (self.all_greedy,)
+            self.penalty_last_n, self.ignore_eos,
+        ), (self.all_greedy, self.eog_cols)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, all_greedy=aux[0] if aux else False)
+        return cls(*children, all_greedy=aux[0] if aux else False,
+                   eog_cols=aux[1] if len(aux) > 1 else ())
 
 
 def new_state(n_slots: int, seed: int = 0,
@@ -200,9 +211,11 @@ def new_state(n_slots: int, seed: int = 0,
     )
 
 
-def params_from_host(slot_params: list[SamplingParams | None]) -> DeviceSamplerParams:
+def params_from_host(slot_params: list[SamplingParams | None],
+                     eog_ids: tuple = ()) -> DeviceSamplerParams:
     """Pack per-slot SamplingParams into device arrays (idle slots get
-    defaults)."""
+    defaults). eog_ids: the tokenizer's EOG token ids (static per engine)
+    — the columns the per-slot ignore_eos ban masks in sample_step."""
     def arr(get, default, dtype=np.float32):
         return jnp.asarray(
             [get(p) if p is not None else default for p in slot_params], dtype
@@ -218,7 +231,9 @@ def params_from_host(slot_params: list[SamplingParams | None]) -> DeviceSamplerP
         freq_penalty=arr(lambda p: p.frequency_penalty, 0.0),
         presence_penalty=arr(lambda p: p.presence_penalty, 0.0),
         penalty_last_n=arr(lambda p: p.repeat_last_n, 0, np.int32),
+        ignore_eos=arr(lambda p: p.ignore_eos, False, np.bool_),
         all_greedy=all(p is None or p.temperature <= 0 for p in slot_params),
+        eog_cols=tuple(eog_ids),
     )
 
 
@@ -246,6 +261,13 @@ def sample_step(
         # unconstrained slots sit on the all-pass row 0
         allow = gbank.mask[state.gstate]  # [S, V]
         logits = jnp.where(allow, logits, -jnp.inf)
+    if params.eog_cols and params.ignore_eos is not None:
+        # per-slot ignore_eos: ban the EOG columns (the reference does
+        # this as logit_bias[eos] = -inf before the chain)
+        cols = jnp.asarray(params.eog_cols, jnp.int32)
+        cur = logits[:, cols]
+        logits = logits.at[:, cols].set(
+            jnp.where(params.ignore_eos[:, None], -jnp.inf, cur))
 
     def advance_gstate(tokens):
         if gbank is None:

@@ -631,7 +631,8 @@ class InferenceEngine:
     def _launch_slot(self, slot: Slot, task: Task) -> None:
         """Reference: LaunchSlotWithData (:434-641)."""
         p = task.params
-        sampler = Sampler(p.sampling, self.cfg.n_vocab, eos_id=self.tok.eos_id)
+        sampler = Sampler(p.sampling, self.cfg.n_vocab, eos_id=self.tok.eos_id,
+                          eog_ids=self.ops.eog_ids)
         gstart = None
         if p.sampling.grammar or p.json_schema:
             from ..grammar import build_matcher
@@ -1130,7 +1131,8 @@ class InferenceEngine:
         """Fully-on-device decode for this slot? Grammar requests qualify
         when their grammar determinized into the GrammarBank (gstate set at
         launch); only non-DFA grammars force the host lane."""
-        return (device_compatible(s.params.sampling)
+        return (device_compatible(s.params.sampling,
+                                  eog_ok=bool(self.ops.eog_ids))
                 and (s.sampler.grammar_matcher is None
                      or s.gstate is not None))
 

@@ -52,6 +52,11 @@ class EngineOps:
         self._gbank = gbank  # sampling.device.GrammarBank | None
         self._recent_ops: list[str] = []
         self.model = model
+        # tokenizer EOG ids (static per engine): the device sampler's
+        # ignore_eos ban targets these columns (sampling/device.py)
+        from ..grammar.dfa import eog_token_ids
+
+        self.eog_ids = tuple(eog_token_ids(model.tokenizer))
         self.cfg = cfg
         self.cache = cache
         self._step_fn = step_fn
@@ -151,7 +156,8 @@ class EngineOps:
         (which never left the device)."""
         S = self.n_slots
         if reset is not None:
-            self._dev_params = params_from_host(reset["by_slot"])
+            self._dev_params = params_from_host(reset["by_slot"],
+                                               eog_ids=self.eog_ids)
             keys = (self._dev_state.keys if self._dev_state is not None
                     else self._arr(np.asarray(new_state(S, seed=reset["seed"]).keys)))
             self._dev_state = DeviceSamplerState(
@@ -194,7 +200,7 @@ class EngineOps:
         shared device PRNG keys. Callers must gate on device_compatible
         for every sampled slot. gstate: per-slot grammar-bank rows."""
         S = self.n_slots
-        params = params_from_host(by_slot)
+        params = params_from_host(by_slot, eog_ids=self.eog_ids)
         keys = (self._dev_state.keys if self._dev_state is not None
                 else self._arr(np.asarray(new_state(S, seed=seed).keys)))
         state = DeviceSamplerState(
@@ -295,7 +301,8 @@ class EngineOps:
                 jax.ShapeDtypeStruct(np.shape(a), a.dtype)
 
         params_s = jax.tree.map(sds_row,
-                                params_from_host([SamplingParams()] * S))
+                                params_from_host([SamplingParams()] * S,
+                                                 eog_ids=self.eog_ids))
         st = new_state(S, seed=0)
         state_s = DeviceSamplerState(ring=sds_row(st.ring),
                                      keys=sds_row(st.keys),
