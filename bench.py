@@ -46,6 +46,15 @@ def main() -> int:
     if os.environ.get("TPU_ENGINE_TRACE") == "1":
         logging.basicConfig(level=logging.INFO, stream=sys.stderr,
                             format="%(relativeCreated)8.0fms %(message)s")
+    else:
+        # always surface the loader's parse/convert/upload phase split:
+        # the upload leg rides the remote-TPU tunnel and varies 4-8x —
+        # the split tells tunnel weather apart from a load regression
+        h = logging.StreamHandler(sys.stderr)
+        h.setFormatter(logging.Formatter("[%(message)s]"))
+        llog = logging.getLogger("tpu_engine.loader")
+        llog.addHandler(h)
+        llog.setLevel(logging.INFO)
     import jax
 
     from tpu_engine.utils.jaxinit import setup_compilation_cache

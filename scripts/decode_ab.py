@@ -62,16 +62,19 @@ def main():
             w, cache, tok, act, cfg, params, st, CHUNK, rot_cache=True)
         return last, cache, st
 
+    import numpy as _np
+
     # warm-up: compile + advance fill to ~128 so attention reads real blocks
     for _ in range(4):
         tok, cache, st = chunk(cache, tok, st)
-    tok.block_until_ready()
+    _np.asarray(tok)  # value pull: block_until_ready alone returns early
+    # on the axon remote runtime for donated-buffer chains
 
     reps = 6
     t0 = time.time()
     for _ in range(reps):
         tok, cache, st = chunk(cache, tok, st)
-    tok.block_until_ready()
+    _np.asarray(tok)  # chunks chain through tok: one pull settles all reps
     dt = (time.time() - t0) / reps
     per_step = dt / CHUNK * 1e3
     agg = S * CHUNK / dt

@@ -416,3 +416,33 @@ def test_grammar_device_lane_mixed_batch(tmp_path_factory):
         assert eng.n_host_steps == 0
     finally:
         eng.shutdown()
+
+
+def test_grammar_ignore_eos_single_slot_runs_full_budget(tmp_path_factory):
+    """Regression: a lone request (single-slot prefill path samples its
+    FIRST token on the host) with a grammar whose accept states legalize
+    EOG + ignore_eos must decode the full budget — the host sampler used
+    to ban only eos_id, so a non-eos EOG id (eot/flagged extra) ranked
+    first by the model ended generation after one token."""
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    path = d + "/m.gguf"
+    build_test_gguf(path, "f32", seed=11)
+    eng = InferenceEngine(load_model(path), n_ctx=256, n_parallel=2,
+                          n_batch=64, prefill_buckets=(16,))
+    try:
+        p = greedy(prompt="hello", n=24)
+        p.sampling.grammar = 'root ::= ("yes" | "no" | " ")*\n'
+        p.sampling.ignore_eos = True
+        _, final = collect(eng, eng.request_completion(p))
+        assert final.tokens_predicted == 24, final.tokens_predicted
+        import re
+
+        # budget can exhaust mid-piece (a token like "non" parks the DFA
+        # inside the next "no") — allow one dangling partial literal
+        assert re.fullmatch(r"(yes|no| )*(y|ye|n)?", final.text), final.text
+        # and the grammar slot stayed on the device lane
+        assert eng.n_host_steps == 0
+    finally:
+        eng.shutdown()
