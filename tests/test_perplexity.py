@@ -71,3 +71,22 @@ def test_ppl_deterministic(models):
     a = compute_ppl(lm, TEXT, n_ctx=64)
     b = compute_ppl(lm, TEXT, n_ctx=64)
     assert a == b
+
+
+def test_ppl_bf16_scales_matches_f32_scales(tmp_path, monkeypatch):
+    """bf16 flat-scale storage (TPU_ENGINE_BF16_SCALES=1) perturbs each
+    group scale by <= 2^-9 relative — its ppl must sit on top of the
+    f32-scale run (well inside the weight-quant delta)."""
+    from tpu_engine.tools.synthetic import build_synthetic_gguf
+
+    f32 = str(tmp_path / "mini_f32.gguf")
+    q4 = str(tmp_path / "mini_q4.gguf")
+    build_synthetic_gguf(f32, "mini", "f32", seed=3)
+    requantize_gguf(f32, q4, "q4_k_m")
+
+    ppl_f32sc, n0, _ = compute_ppl(load_model(q4), TEXT, n_ctx=64)
+    monkeypatch.setenv("TPU_ENGINE_BF16_SCALES", "1")
+    ppl_bf16sc, n1, _ = compute_ppl(load_model(q4), TEXT, n_ctx=64)
+    assert n0 == n1 > 0
+    assert abs(ppl_bf16sc - ppl_f32sc) / ppl_f32sc < 0.01, (
+        ppl_f32sc, ppl_bf16sc)

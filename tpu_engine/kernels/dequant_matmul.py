@@ -145,7 +145,11 @@ def _expand_scales(sc_ref, b_ref, packed_gpb: int, packed_s: int,
     Weight-side refs carry a leading block dim of 1 (stacked-layer
     selection by the index maps)."""
     if not packed_gpb:
-        return sc_ref[0], (b_ref[0] if b_ref is not None else None)
+        # flat layout; scales may be stored bf16 (TPU_ENGINE_BF16_SCALES)
+        # — one native widening cast of the small [tn, ng] tile
+        sc0 = sc_ref[0].astype(jnp.float32)
+        return sc0, (b_ref[0].astype(jnp.float32) if b_ref is not None
+                     else None)
 
     def expand():
         dd = sc_ref[0].astype(jnp.float32)      # [tn, S*ns]
