@@ -84,6 +84,7 @@ def test_ppl_bf16_scales_matches_f32_scales(tmp_path, monkeypatch):
     build_synthetic_gguf(f32, "mini", "f32", seed=3)
     requantize_gguf(f32, q4, "q4_k_m")
 
+    monkeypatch.setenv("TPU_ENGINE_BF16_SCALES", "0")
     ppl_f32sc, n0, _ = compute_ppl(load_model(q4), TEXT, n_ctx=64)
     monkeypatch.setenv("TPU_ENGINE_BF16_SCALES", "1")
     ppl_bf16sc, n1, _ = compute_ppl(load_model(q4), TEXT, n_ctx=64)

@@ -206,14 +206,16 @@ def qtensor_from_gguf(g: GGUFFile, name: str, dtype=jnp.float32,
             qs, scale, bias, k_pad = lane_pad_group_cycle(
                 np.asarray(qs), np.asarray(scale),
                 None if bias is None else np.asarray(bias), lay.group, k)
-        if os.environ.get("TPU_ENGINE_BF16_SCALES", "0") == "1":
-            # bf16 flat scale/bias storage: halves the per-group scale
-            # bytes (Q4_K 0.75 -> 0.625 B/elem of qmm DMA) at zero extra
-            # in-kernel work (one native widening cast per tile). The
-            # file's f16 d/dmin round to 8 mantissa bits — a <=2^-9
-            # relative scale perturbation vs the 4-6 bit weight error;
-            # the ppl gate (tests/test_perplexity.py, scripts/ppl_gate.py)
-            # bounds the effect.
+        if os.environ.get("TPU_ENGINE_BF16_SCALES", "1") == "1":
+            # bf16 flat scale/bias storage (DEFAULT ON): halves the
+            # per-group scale bytes (Q4_K 0.75 -> 0.625 B/elem of qmm DMA)
+            # at zero extra in-kernel work (one native widening cast per
+            # tile). Measured on v5e 7B Q4_K_M bs=8, interleaved A/B:
+            # 10.37 vs 11.09 ms/step (+6.5%). The file's f16 d/dmin round
+            # to 8 mantissa bits — a <=2^-9 relative scale perturbation vs
+            # the 4-6 bit weight error; the ppl gate
+            # (tests/test_perplexity.py, scripts/ppl_gate.py) bounds the
+            # effect at <1% relative on the mini model.
             import ml_dtypes
 
             scale = np.asarray(scale).astype(ml_dtypes.bfloat16)

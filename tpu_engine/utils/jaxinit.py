@@ -51,8 +51,14 @@ def setup_compilation_cache(path: str | None = None) -> str | None:
 
             try:
                 with open("/proc/cpuinfo") as f:
-                    flags = next((ln for ln in f if ln.startswith("flags")),
-                                 platform.processor())
+                    # flags ALONE under-keys: LLVM subtarget tuning (e.g.
+                    # +prefer-no-scatter) follows the CPU MODEL, so two
+                    # hosts with identical flag sets can still produce
+                    # mutually SIGILL-ing AOT artifacts — key on model
+                    # name + flags
+                    lines = [ln for ln in f
+                             if ln.startswith(("flags", "model name"))]
+                    flags = "".join(sorted(set(lines))) or platform.processor()
             except OSError:
                 flags = platform.processor()
             fp = hashlib.sha1(str(flags).encode()).hexdigest()[:12]
