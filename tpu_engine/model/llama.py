@@ -198,6 +198,10 @@ def set_attention_impl(fn) -> None:
     _ATTN_IMPL = fn
 
 
+def get_attention_impl():
+    return _ATTN_IMPL
+
+
 def _forward(
     weights: dict,
     cache: KVCache,

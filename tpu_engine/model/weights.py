@@ -396,6 +396,10 @@ def set_pallas_qmatmul(fn) -> None:
     _PALLAS_QMATMUL = fn
 
 
+def get_pallas_qmatmul():
+    return _PALLAS_QMATMUL
+
+
 def slice_rows(qt: QTensor, start: int, stop: int) -> QTensor:
     """Slice output rows [start, stop) — exact for every kind (rows carry
     their own scales). The inverse of concat_qtensors; used to split
