@@ -208,6 +208,19 @@ def test_json_schema_constrained(engine):
     assert set(obj) == {"ok"} and isinstance(obj["ok"], bool)
 
 
+def test_empty_json_schema_still_constrains(engine):
+    """{} is a VALID schema meaning "any JSON" — the response_format
+    json_object case (reference llama_engine.cc:794-802). Regression: the
+    falsy {} used to skip grammar setup entirely and emit free text."""
+    p = greedy(prompt="say", n=24)
+    p.json_schema = {}
+    tid = engine.request_completion(p)
+    _, final = collect(engine, tid)
+    import json as _json
+
+    _json.loads(final.text)  # must parse as a JSON value
+
+
 def test_long_prompt_truncation(engine):
     # slot ctx = 256/2 = 128; prompt of 200 tokens must truncate, not crash
     ids = [5 + (i % 300) for i in range(200)]

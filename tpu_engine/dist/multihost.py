@@ -155,10 +155,12 @@ def _broadcast_ops_factory(channel: OpChannel):
             return super().sample_first(logits, by_slot, prevs, seed,
                                         gstate=gstate)
 
-        def set_grammar_bank(self, mask, trans):
+        def set_grammar_bank(self, mask, trans, row_off=None):
+            # row-range patch: only the written rows travel the channel
             self._publish("set_grammar_bank",
-                          (np.asarray(mask), np.asarray(trans)), {})
-            super().set_grammar_bank(mask, trans)
+                          (np.asarray(mask), np.asarray(trans)),
+                          {"row_off": row_off})
+            super().set_grammar_bank(mask, trans, row_off=row_off)
 
         def trim(self, slot, n):
             self._publish("trim", (int(slot), int(n)), {})

@@ -188,7 +188,9 @@ class Sampler:
                     logits[int(tok)] = -np.inf
                 else:
                     logits[int(tok)] += bias
+        pre_ban = None
         if p.ignore_eos:
+            pre_ban = {t: logits[t] for t in self.eog_ids if t < logits.size}
             for t in self.eog_ids:
                 if t < logits.size:
                     logits[t] = -np.inf
@@ -199,6 +201,14 @@ class Sampler:
             mask = self.grammar_matcher.allowed_mask()
             if mask is not None:
                 logits = np.where(mask, logits, -np.inf)
+                if pre_ban and not np.isfinite(logits).any():
+                    # finite grammar with only EOG legal: the ignore_eos
+                    # ban yields so the grammar can terminate (otherwise
+                    # argmax picks token 0, which is grammar-illegal and
+                    # drives the matcher into the dead state)
+                    for t, v in pre_ban.items():
+                        if mask[t]:
+                            logits[t] = v
 
         if p.temperature <= 0:
             token = int(np.argmax(logits))

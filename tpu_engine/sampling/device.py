@@ -255,6 +255,7 @@ def sample_step(
     """One sampling step for all slots; returns tokens [S] + new state."""
     S, V = logits.shape
     ring = state.ring
+    allow = None
     if gbank is not None:
         # grammar mask FIRST (reference order: the grammar constrains the
         # candidate set before the samplers, llama.cpp common_sampler);
@@ -265,9 +266,18 @@ def sample_step(
         # per-slot ignore_eos: ban the EOG columns (the reference does
         # this as logit_bias[eos] = -inf before the chain)
         cols = jnp.asarray(params.eog_cols, jnp.int32)
+        ban = params.ignore_eos[:, None]
+        if allow is not None:
+            # a FINITE grammar at an accept state with no continuation
+            # leaves only EOG legal; banning it would zero the whole row
+            # and emit a grammar-illegal argmax-0 token. The host lane
+            # resolves this by letting the grammar terminate — exempt the
+            # EOG columns for slots with no other legal token.
+            eogm = jnp.zeros((V,), bool).at[cols].set(True)
+            has_other = jnp.any(allow & ~eogm[None, :], axis=-1)  # [S]
+            ban = ban & has_other[:, None]
         cur = logits[:, cols]
-        logits = logits.at[:, cols].set(
-            jnp.where(params.ignore_eos[:, None], -jnp.inf, cur))
+        logits = logits.at[:, cols].set(jnp.where(ban, -jnp.inf, cur))
 
     def advance_gstate(tokens):
         if gbank is None:

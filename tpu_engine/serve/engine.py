@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import itertools
 import logging
+from collections import OrderedDict
 import os
 import queue
 import threading
@@ -160,7 +161,12 @@ class InferenceEngine:
                             int(os.environ.get("TPU_ENGINE_GRAMMAR_STATES",
                                                "128")))
         self._gbank_vocab = int(self.cfg.n_vocab)
-        self._gdfa_cache: dict[str, tuple | None] = {}  # text -> tables|None
+        # text -> expanded token tables | None (None = not determinizable);
+        # LRU-bounded: entries are ~5*ns*V bytes and json_schema requests
+        # mint a fresh grammar text per schema (advisor r4 finding)
+        self._gdfa_cache: "OrderedDict[str, tuple | None]" = OrderedDict()
+        self._gdfa_cache_cap = int(
+            os.environ.get("TPU_ENGINE_GRAMMAR_CACHE", "8"))
         self._gactive: dict[str, list] = {}  # text -> [offset, n_states]
         if self._gbank_rows > 1:
             self.ops.set_grammar_bank(
@@ -396,7 +402,9 @@ class InferenceEngine:
         if ent is not None:
             return ent[0]
         tabs = self._gdfa_cache.get(grammar_text, False)
-        if tabs is False:
+        if tabs is not False:
+            self._gdfa_cache.move_to_end(grammar_text)  # LRU touch
+        else:
             from ..grammar.dfa import compile_byte_dfa, expand_token_tables_np
 
             dfa = compile_byte_dfa(grammar_text,
@@ -407,29 +415,40 @@ class InferenceEngine:
                     dfa, self.tok, n_cols=self._gbank_vocab)
                 tabs = (mask, trans)
             self._gdfa_cache[grammar_text] = tabs
+            # expanded tables are ~5*ns*V bytes each; unbounded growth
+            # under per-request json_schema grammars would leak host
+            # memory, so keep only the most recent handful (installed
+            # grammars live on in the bank/_gactive regardless)
+            while len(self._gdfa_cache) > self._gdfa_cache_cap:
+                self._gdfa_cache.popitem(last=False)
         if tabs is None:
             return None
         mask, trans = tabs
         ns = mask.shape[0]
-        used = sum(e[1] for e in self._gactive.values())
-        if 1 + used + ns > self._gbank_rows:
+        off = self._gbank_alloc(ns)
+        if off is None:
             # evict grammars no ACTIVE slot references, then retry once
             live = {getattr(s, "gtext", None) for s in self.slots
                     if s.is_processing()}
             self._gactive = {t: e for t, e in self._gactive.items()
                              if t in live}
-            used = sum(e[1] for e in self._gactive.values())
-            if 1 + used + ns > self._gbank_rows:
-                return None  # genuinely full: host lane
             self._rebuild_gbank()
-        off = self._gbank_alloc(ns)
+            off = self._gbank_alloc(ns)
+            if off is None:
+                return None  # genuinely full: host lane
         self._gactive[grammar_text] = [off, ns]
         self._gbank_mask[off:off + ns] = mask
         self._gbank_trans[off:off + ns] = trans + off  # absolute rows
-        self.ops.set_grammar_bank(self._gbank_mask, self._gbank_trans)
+        # ship only the written rows; the device patches them in place
+        self.ops.set_grammar_bank(self._gbank_mask[off:off + ns],
+                                  self._gbank_trans[off:off + ns],
+                                  row_off=off)
         return off  # dfa.start == 0 by construction
 
-    def _gbank_alloc(self, ns: int) -> int:
+    def _gbank_alloc(self, ns: int) -> int | None:
+        """First-fit over the gaps; None when no CONTIGUOUS run of ns free
+        rows exists (total-free-row counts lie after eviction leaves
+        gaps — survivors keep their offsets, nothing is compacted)."""
         if self._gbank_mask is None:
             self._gbank_mask = np.ones(
                 (self._gbank_rows, self._gbank_vocab), bool)
@@ -441,6 +460,8 @@ class InferenceEngine:
             if off + ns <= lo:
                 break
             off = max(off, hi)
+        if off + ns > self._gbank_rows:
+            return None
         return off
 
     def _rebuild_gbank(self) -> None:
@@ -634,7 +655,10 @@ class InferenceEngine:
         sampler = Sampler(p.sampling, self.cfg.n_vocab, eos_id=self.tok.eos_id,
                           eog_ids=self.ops.eog_ids)
         gstart = None
-        if p.sampling.grammar or p.json_schema:
+        # NOTE: {} is a valid schema ("any JSON" — the response_format
+        # json_object case, reference llama_engine.cc:794-802) and falsy,
+        # so the check must be `is not None`, not truthiness
+        if p.sampling.grammar or p.json_schema is not None:
             from ..grammar import build_matcher
 
             grammar_src = p.sampling.grammar

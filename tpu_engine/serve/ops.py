@@ -219,12 +219,28 @@ class EngineOps:
         return toks
 
     # ------------------------------------------------------- grammar bank
-    def set_grammar_bank(self, mask, trans) -> None:
+    def set_grammar_bank(self, mask, trans, row_off=None) -> None:
         """Install/refresh the shared grammar tables (numpy [NS, V] bool /
         int32). NS must stay constant per engine (fixed executable
-        shapes); the engine pre-sizes the bank at construction."""
+        shapes); the engine pre-sizes the bank at construction.
+
+        row_off: when given, mask/trans are only the written rows
+        [ns, V] and are patched in place at [row_off:row_off+ns] — a
+        registration then ships ns rows instead of the whole bank
+        (tens of MB on a 32k+ vocab under the multihost broadcast)."""
         from ..sampling.device import GrammarBank
 
+        if row_off is not None:
+            if self._gbank is None:
+                raise ValueError("row-range patch before full bank install")
+            off = int(row_off)
+            ns = mask.shape[0]
+            self._gbank = GrammarBank(
+                mask=self._gbank.mask.at[off:off + ns].set(
+                    self._arr(mask, bool)),
+                trans=self._gbank.trans.at[off:off + ns].set(
+                    self._arr(trans, np.int32)))
+            return
         if self._gbank is not None and mask.shape != self._gbank.mask.shape:
             raise ValueError(
                 f"grammar bank shape {mask.shape} != engine's fixed "
