@@ -155,18 +155,20 @@ def main() -> int:
 
     # BASELINE.md configs 2-4 (TinyLlama scale keeps total bench time
     # bounded): extra metrics go to stderr + BENCH_CONFIGS.json; stdout
-    # stays the single headline JSON line the driver parses.
+    # stays the single headline JSON line the driver parses. A failing
+    # config writes an explicit {"error": ...} entry — BENCH_CONFIGS.json
+    # is ALWAYS rewritten, so a stale file can never mask a regression,
+    # and the headline carries extras_ok for the driver to see.
+    extras_ok = True
     if os.environ.get("BENCH_EXTRA", "1") == "1":
-        try:
-            extras = run_extra_configs()
-        except Exception as e:  # noqa: BLE001 — extras must not sink the headline
-            print(f"[extra configs failed: {e}]", file=sys.stderr)
-            extras = None
-        if extras:
-            with open(os.path.join(_DIR, "BENCH_CONFIGS.json"), "w") as f:
-                json.dump(extras, f, indent=1)
-            for line in extras:
-                print(f"[extra] {json.dumps(line)}", file=sys.stderr)
+        extras = run_extra_configs()
+        extras_ok = not any("error" in e for e in extras)
+        with open(os.path.join(_DIR, "BENCH_CONFIGS.json"), "w") as f:
+            json.dump(extras, f, indent=1)
+        for line in extras:
+            print(f"[extra] {json.dumps(line)}", file=sys.stderr)
+        if not extras_ok:
+            headline["extras_ok"] = False
 
     # perplexity quality gate (BASELINE.md): report the committed at-scale
     # artifact (scripts/ppl_gate.py writes PPL_r{N}.json) as pass/fail —
@@ -198,54 +200,66 @@ def main() -> int:
     return 0
 
 
-def run_extra_configs() -> list:
-    """BASELINE.md configs 2-4 on the TinyLlama-architecture synthetic:
-      2: Q5_K_M + prompt caching (repeat-prompt TTFT speedup)
-      3: quantized KV (q8_0) + flash-decode at LONG fill (~2k cells)
-      4: self-extend + ctx shift + GBNF-constrained decode
-    """
+def _drain(eng, tid):
+    while True:
+        r = eng.next_result(tid, timeout=1200.0)
+        if r.error:
+            raise RuntimeError(r.error_message)
+        if r.stop:
+            return r
+
+
+def _cfg2(sp) -> list:
+    """Config 2: Q5_K_M + prompt caching (repeat-prompt TTFT speedup) and
+    single-slot decode latency (tracked metric per round-4 verdict #6)."""
     from tpu_engine.model.loader import load_model
-    from tpu_engine.sampling import SamplingParams
     from tpu_engine.serve import CompletionParams, InferenceEngine
     from tpu_engine.tools.synthetic import cached_synthetic
 
-    cache_dir = os.path.join(_DIR, ".bench_cache")
-    sp = SamplingParams(temperature=0.0)
-    out = []
-
-    def drain(eng, tid):
-        while True:
-            r = eng.next_result(tid, timeout=1200.0)
-            if r.error:
-                raise RuntimeError(r.error_message)
-            if r.stop:
-                return r
-
-    # -- config 2: Q5_K_M + prompt caching --------------------------------
-    path = cached_synthetic(cache_dir, "tinyllama-1.1b", "q5_k_m")
+    path = cached_synthetic(os.path.join(_DIR, ".bench_cache"),
+                            "tinyllama-1.1b", "q5_k_m")
     lm = load_model(path)
+    roofline1 = HBM_BW / lm.model_size_bytes  # bs=1 weight-read ceiling
     eng = InferenceEngine(lm, n_ctx=4096, n_parallel=8, n_batch=512,
                           prefill_buckets=(16, 64, 256))
     try:
         eng.warm_up()
         prompt = " ".join(f"word{i} the quick brown fox" for i in range(40))
-        r = drain(eng, eng.request_completion(CompletionParams(
+        r = _drain(eng, eng.request_completion(CompletionParams(
             prompt=prompt, n_predict=32, sampling=sp, cache_prompt=True)))
         cold_ttft = r.timings.get("prompt_ms", 0.0)
-        t0 = time.time()
-        r = drain(eng, eng.request_completion(CompletionParams(
+        r = _drain(eng, eng.request_completion(CompletionParams(
             prompt=prompt, n_predict=32, sampling=sp, cache_prompt=True)))
         warm_ttft = r.timings.get("prompt_ms", 0.0)
-        dec = r.tokens_predicted / max(time.time() - t0 - warm_ttft / 1e3, 1e-9)
-        out.append({"metric": "cfg2_q5_k_m_prompt_cache_ttft_ms",
-                    "value": round(warm_ttft, 2), "unit": "ms",
-                    "vs_baseline": round(warm_ttft / max(cold_ttft, 1e-9), 4),
-                    "note": f"cold {cold_ttft:.1f} ms; decode {dec:.0f} tok/s"})
+        # single-slot decode rate: one request alone on the engine, long
+        # enough (256 tok) to amortize ramp-up; decode-phase time only
+        r = _drain(eng, eng.request_completion(CompletionParams(
+            prompt=prompt, n_predict=256, sampling=sp, cache_prompt=True)))
+        dec = r.tokens_predicted / max(
+            r.timings.get("predicted_ms", 0.0) / 1e3, 1e-9)
+        return [
+            {"metric": "cfg2_q5_k_m_prompt_cache_ttft_ms",
+             "value": round(warm_ttft, 2), "unit": "ms",
+             "vs_baseline": round(warm_ttft / max(cold_ttft, 1e-9), 4),
+             "note": f"cold {cold_ttft:.1f} ms"},
+            {"metric": "cfg2_single_slot_decode_tok_per_s",
+             "value": round(dec, 2), "unit": "tokens/s",
+             "vs_baseline": round(dec / roofline1, 4),
+             "note": "one slot alone, 256 tok, decode-phase only; "
+                     "vs_baseline = fraction of bs=1 weight-read roofline"},
+        ]
     finally:
         eng.shutdown()
 
-    # -- config 3: q8_0 KV + flash decode at long fill ---------------------
-    path = cached_synthetic(cache_dir, "tinyllama-1.1b", "q4_k_m")
+
+def _cfg3(sp) -> list:
+    """Config 3: quantized KV (q8_0) + flash-decode at LONG fill (~2k)."""
+    from tpu_engine.model.loader import load_model
+    from tpu_engine.serve import CompletionParams, InferenceEngine
+    from tpu_engine.tools.synthetic import cached_synthetic
+
+    path = cached_synthetic(os.path.join(_DIR, ".bench_cache"),
+                            "tinyllama-1.1b", "q4_k_m")
     lm = load_model(path)
     # weight-read roofline for this model/batch — same yardstick as the
     # headline (KV traffic at fill 2k adds ~10% more reads, so the true
@@ -260,7 +274,7 @@ def run_extra_configs() -> list:
         tids = [eng.request_completion(CompletionParams(
             prompt=long_prompt, n_predict=128, sampling=sp,
             cache_prompt=False)) for _ in range(8)]
-        rs = [drain(eng, tid) for tid in tids]
+        rs = [_drain(eng, tid) for tid in tids]
         wall = time.time() - t0
         total = sum(r.tokens_predicted for r in rs)
         els = [r.timings.get("predicted_ms", 0.0) for r in rs]
@@ -272,16 +286,26 @@ def run_extra_configs() -> list:
             raise RuntimeError(
                 f"cfg3 nonsense rate {rate:.3g} tok/s (roofline "
                 f"{tiny_roofline:.0f}; predicted_ms={els})")
-        out.append({"metric": "cfg3_q8_0_kv_flash_decode_fill2k_tok_per_s",
-                    "value": round(rate, 2), "unit": "tokens/s",
-                    "vs_baseline": round(rate / tiny_roofline, 4),
-                    "note": f"8 slots, fill 2048, wall {wall:.1f}s; "
-                            "vs_baseline = fraction of weight-read roofline"})
+        return [{"metric": "cfg3_q8_0_kv_flash_decode_fill2k_tok_per_s",
+                 "value": round(rate, 2), "unit": "tokens/s",
+                 "vs_baseline": round(rate / tiny_roofline, 4),
+                 "note": f"8 slots, fill 2048, wall {wall:.1f}s; "
+                         "vs_baseline = fraction of weight-read roofline"}]
     finally:
         eng.shutdown()
 
-    # -- config 4: self-extend + ctx shift + GBNF --------------------------
+
+def _cfg4(sp) -> list:
+    """Config 4: self-extend + ctx shift + GBNF-constrained decode."""
+    from tpu_engine.model.loader import load_model
+    from tpu_engine.sampling import SamplingParams
+    from tpu_engine.serve import CompletionParams, InferenceEngine
+    from tpu_engine.tools.synthetic import cached_synthetic
+
+    path = cached_synthetic(os.path.join(_DIR, ".bench_cache"),
+                            "tinyllama-1.1b", "q4_k_m")
     lm = load_model(path)
+    tiny_roofline = 8 * HBM_BW / lm.model_size_bytes
     eng = InferenceEngine(lm, n_ctx=8 * 512, n_parallel=8, n_batch=512,
                           prefill_buckets=(16,), grp_attn_n=2, grp_attn_w=256)
     try:
@@ -294,29 +318,45 @@ def run_extra_configs() -> list:
         # plain run first: the denominator (same engine, no grammar) so
         # vs_baseline reports the true cost of the grammar lane
         t0 = time.time()
-        r = drain(eng, eng.request_completion(CompletionParams(
+        r = _drain(eng, eng.request_completion(CompletionParams(
             prompt="start", n_predict=600, sampling=xsp, cache_prompt=False)))
         plain_rate = r.tokens_predicted / max(time.time() - t0, 1e-9)
         gsp = SamplingParams(temperature=0.0, ignore_eos=True,
                              grammar='root ::= ("yes" | "no" | " ")*\n')
         t0 = time.time()
         # 600 tokens through a 512-cell window forces ctx shifts mid-run
-        r = drain(eng, eng.request_completion(CompletionParams(
+        r = _drain(eng, eng.request_completion(CompletionParams(
             prompt="start", n_predict=600, sampling=gsp, cache_prompt=False)))
         el = time.time() - t0
         rate = r.tokens_predicted / max(el, 1e-9)
         if not (0 < rate < tiny_roofline * 1.5):
             raise RuntimeError(f"cfg4 nonsense rate {rate:.3g} tok/s")
-        out.append({"metric": "cfg4_self_extend_ctx_shift_gbnf_tok_per_s",
-                    "value": round(rate, 2),
-                    "unit": "tokens/s",
-                    "vs_baseline": round(rate / max(plain_rate, 1e-9), 4),
-                    "note": f"{r.tokens_predicted} tok, truncated="
-                            f"{r.truncated}; vs_baseline = ratio to the "
-                            f"same engine without grammar ({plain_rate:.0f}"
-                            " tok/s)"})
+        return [{"metric": "cfg4_self_extend_ctx_shift_gbnf_tok_per_s",
+                 "value": round(rate, 2),
+                 "unit": "tokens/s",
+                 "vs_baseline": round(rate / max(plain_rate, 1e-9), 4),
+                 "note": f"{r.tokens_predicted} tok, truncated="
+                         f"{r.truncated}; vs_baseline = ratio to the "
+                         f"same engine without grammar ({plain_rate:.0f}"
+                         " tok/s)"}]
     finally:
         eng.shutdown()
+
+
+def run_extra_configs() -> list:
+    """BASELINE.md configs 2-4 on the TinyLlama-architecture synthetic.
+    Each config is isolated: a failure becomes an explicit {"error": ...}
+    entry instead of aborting the set (round-4 verdict weak #8)."""
+    from tpu_engine.sampling import SamplingParams
+
+    sp = SamplingParams(temperature=0.0)
+    out = []
+    for name, fn in (("cfg2", _cfg2), ("cfg3", _cfg3), ("cfg4", _cfg4)):
+        try:
+            out.extend(fn(sp))
+        except Exception as e:  # noqa: BLE001 — isolate per config
+            print(f"[{name} FAILED: {e}]", file=sys.stderr)
+            out.append({"metric": name, "error": f"{type(e).__name__}: {e}"})
     return out
 
 
