@@ -157,3 +157,65 @@ def test_engine_cache_type(tmp_path, kind):
         assert isinstance(final.text, str)
     finally:
         eng.shutdown()
+
+
+@pytest.mark.parametrize("kind", ["f32", "f16", "q8_0", "q4_0"])
+def test_dt_layout_matches_td(tiny, kind):
+    """Transposed ("dt", [L,S,KH,D,T]) storage must produce the same
+    logits and the same dequantized cell contents as the row-major
+    layout: prefill -> two decode steps -> context shift."""
+    lm = tiny
+    c = lm.cfg
+
+    def run(layout):
+        cache = new_cache(c.n_layer, 2, 64, c.n_kv_head, c.head_dim,
+                          kind=kind, layout=layout)
+        logits, cache, _ = forward_step(
+            lm.weights, cache, jnp.asarray([PROMPT], jnp.int32),
+            jnp.asarray([0], jnp.int32), jnp.asarray([True]), c,
+        )
+        outs = [np.asarray(logits)]
+        for t in (290, 291):
+            logits, cache, _ = forward_step(
+                lm.weights, cache, jnp.asarray([[t]], jnp.int32),
+                jnp.asarray([0], jnp.int32), jnp.asarray([True]), c,
+            )
+            outs.append(np.asarray(logits))
+        cache = shift_compact(cache, jnp.int32(0), jnp.int32(1), jnp.int32(2))
+        logits, cache, _ = forward_step(
+            lm.weights, cache, jnp.asarray([[292]], jnp.int32),
+            jnp.asarray([0], jnp.int32), jnp.asarray([True]), c,
+        )
+        outs.append(np.asarray(logits))
+        kcells = cache.k[0, 0]
+        if layout == "dt":
+            kcells = jnp.swapaxes(kcells, -1, -2)
+        kd = np.asarray(dequant_kv(
+            kcells, cache.k_scale[0, 0] if cache.k_scale is not None else None,
+            kind))
+        return outs, kd, int(cache.lengths[0])
+
+    ref_outs, ref_k, ref_len = run("td")
+    got_outs, got_k, got_len = run("dt")
+    assert got_len == ref_len
+    for a, b in zip(ref_outs, got_outs):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(ref_k, got_k, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("kind", ["q8_0", "f16"])
+def test_dt_seq_cp_and_trim(tiny, kind):
+    lm = tiny
+    c = lm.cfg
+    cache = new_cache(c.n_layer, 2, 64, c.n_kv_head, c.head_dim,
+                      kind=kind, layout="dt")
+    _, cache, _ = forward_step(
+        lm.weights, cache, jnp.asarray([PROMPT], jnp.int32),
+        jnp.asarray([0], jnp.int32), jnp.asarray([True]), c,
+    )
+    c2 = seq_cp(cache, jnp.int32(0), jnp.int32(1))
+    assert c2.layout == "dt" and int(c2.lengths[1]) == len(PROMPT)
+    np.testing.assert_array_equal(np.asarray(c2.k[0, 1]),
+                                  np.asarray(c2.k[0, 0]))
+    c3 = trim(c2, jnp.int32(0), jnp.int32(4))
+    assert c3.layout == "dt" and int(c3.lengths[0]) == 4

@@ -219,11 +219,15 @@ def _build_state(config: dict, with_cache: bool = True):
         step_fn, dloop_fn = forward_step, decode_loop
     if not with_cache:
         return lm, mesh, None, step_fn, dloop_fn
+    from ..kvcache.cache import default_layout
+
     cache = new_cache(
         lm.cfg.n_layer, config["n_parallel"], config["slot_ctx"],
         lm.cfg.n_kv_head, lm.cfg.head_dim,
         dtype=np.dtype(config["kv_dtype"]),
         kind=config["cache_type"],
+        # every process must pick the SAME layout (deterministic policy)
+        layout=default_layout(config["cache_type"], lm.cfg.head_dim),
     )
     if tp_size > 1:
         cache = _tp.shard_cache_tp(cache, mesh)

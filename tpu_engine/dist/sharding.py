@@ -157,6 +157,7 @@ def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
         k_scale=put(cache.k_scale, sc_spec),
         v_scale=put(cache.v_scale, sc_spec),
         kind=cache.kind,
+        layout=cache.layout,
     )
 
 

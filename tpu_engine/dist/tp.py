@@ -207,6 +207,7 @@ def _cache_specs(cache: KVCache, dp: int = 1) -> KVCache:
         k_scale=sc if cache.k_scale is not None else None,
         v_scale=sc if cache.v_scale is not None else None,
         kind=cache.kind,
+        layout=cache.layout,
     )
 
 
@@ -236,7 +237,8 @@ def shard_cache_tp(cache: KVCache, mesh: Mesh) -> KVCache:
     return KVCache(k=put(cache.k, specs.k), v=put(cache.v, specs.v),
                    lengths=put(cache.lengths, specs.lengths),
                    k_scale=put(cache.k_scale, specs.k_scale),
-                   v_scale=put(cache.v_scale, specs.v_scale), kind=cache.kind)
+                   v_scale=put(cache.v_scale, specs.v_scale),
+                   kind=cache.kind, layout=cache.layout)
 
 
 def place_aux_weights(weights: dict, mesh: Mesh) -> dict:

@@ -296,6 +296,431 @@ def _decode_kernel_bh(
         out_ref[0, 0] = out.astype(out_ref.dtype)
 
 
+def _decode_kernel_t(
+    li_ref, slots_ref, starts_ref, win_ref,  # scalar prefetch (SMEM)
+    q_ref, kn_ref, vn_ref, k_ref, v_ref, cos_ref, sin_ref, ks_ref, vs_ref,
+    out_ref,
+    acc_ref, m_ref, l_ref,
+    *, cfg: ModelConfig, kind: str, G: int, Tblk: int, n_kb: int,
+    rotated: bool = True,
+):
+    """Decode over the TRANSPOSED ("dt") cache: blocks arrive [KH, D, T]
+    with cells in the LANE dim — full (8,128) tiles at any head_dim
+    (kvcache/cache.py KVCache.layout; the "td" D=64 / q4_0 packed-D/2
+    half-tile pathology measured 991 us/layer vs a 5.4 us floor at
+    TinyLlama shapes, PARITY.md round-4). K arrives pre-transposed for
+    the QK^T dot: scores = q [KH,G,D] x k [KH,D,Tblk] is the canonical
+    MXU contraction. Handles both rotated (pre-rotated K, the rot_cache
+    default) and unrotated (self-extend: in-kernel rotation from
+    transposed [rd/2, T] tables; per-token scales commute with rotation
+    because rope only mixes the D axis)."""
+    b = pl.program_id(0)
+    kb = pl.program_id(1)
+    KH = k_ref.shape[2]
+    D = cfg.head_dim
+    start = starts_ref[b]
+    last_kb = jnp.maximum((start + Tblk - 1) // Tblk - 1, 0)
+    ct = jnp.float32 if (kind == "f32" or not rotated) else jnp.bfloat16
+    dims_qk = (((2,), (1,)), ((0,), (0,)))  # [KH,G,D]x[KH,D,T] -> [KH,G,T]
+    dims_pv = (((2,), (2,)), ((0,), (0,)))  # [KH,G,T]x[KH,D,T] -> [KH,G,D]
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    def update(s, p_extra, vf, dot_pv):
+        m_prev = m_ref[:, :, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m_prev - m_new)
+        l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=2, keepdims=True)
+        if p_extra is not None:  # quantized V: fold row scales into p
+            p = p * p_extra
+        acc_ref[:] = acc_ref[:] * corr + dot_pv(p, vf)
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(kb <= last_kb)
+    def _():  # noqa: F811
+        q = q_ref[0, 0].astype(ct)  # [KH, G, D]
+
+        @pl.when(start > 0)
+        def _():
+            kq = k_ref[0, 0]  # [KH, Dk2, Tblk] stored form
+            vq = v_ref[0, 0]
+            if kind == "q4_0":  # split-half packed along D -> sublane concat
+                c = kq.astype(jnp.int32)
+                kf = jnp.concatenate([(c & 0xF) - 8, (c >> 4) - 8],
+                                     axis=1).astype(ct)
+                c = vq.astype(jnp.int32)
+                vf = jnp.concatenate([(c & 0xF) - 8, (c >> 4) - 8],
+                                     axis=1).astype(ct)
+            else:  # f16/f32 direct; q8_0 int8 is exact in bf16
+                kf = kq.astype(ct)
+                vf = vq.astype(ct)
+            ks = ks_ref[0, 0] if ks_ref is not None else None  # [KH,1,Tblk]
+            if not rotated:
+                # self-extend: rotate the stored-order K in f32. The
+                # per-token scale is constant over D, so dequant-first
+                # == rotate-then-scale; apply scales pre-dot here.
+                if ks is not None:
+                    kf = kf * ks
+                half = cfg.rope_dim // 2
+                cos = cos_ref[:][None]  # [1, rd/2, Tblk]
+                sin = sin_ref[:][None]
+                x1, x2 = kf[:, :half], kf[:, half:cfg.rope_dim]
+                rot = jnp.concatenate(
+                    [x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=1)
+                if cfg.rope_dim < D:
+                    rot = jnp.concatenate([rot, kf[:, cfg.rope_dim:]], axis=1)
+                kf = rot
+            s = jax.lax.dot_general(
+                q, kf, dims_qk, preferred_element_type=jnp.float32)
+            if rotated and ks is not None:  # scales factor out of the dot
+                s = s * ks
+            s = _softcap(s * cfg.attention_scale(), cfg)
+            cell = kb * Tblk + jax.lax.broadcasted_iota(
+                jnp.int32, (KH, G, Tblk), 2)
+            ok = cell < start
+            w = win_ref[0]  # sliding window (gemma2 local layers); 0 = off
+            ok = ok & ((w <= 0) | (cell > start - w))
+            s = jnp.where(ok, s, NEG_INF)
+            vs = vs_ref[0, 0] if vs_ref is not None else None
+            update(s, vs, vf, lambda p, vf: jax.lax.dot_general(
+                p.astype(ct), vf, dims_pv,
+                preferred_element_type=jnp.float32))
+
+        @pl.when(kb == last_kb)
+        def _():
+            # the step's own (in-flight, pre-rotated, full-precision) row
+            kn = kn_ref[0].astype(ct)  # [KH, 1, D]
+            vn = vn_ref[0].astype(jnp.float32)
+            sn = jax.lax.dot_general(
+                q, kn, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            sn = _softcap(sn * cfg.attention_scale(), cfg)  # [KH, G, 1]
+            update(sn, None, vn, lambda p, vf: p * vf)
+
+    @pl.when(kb == n_kb - 1)
+    def _():
+        out = acc_ref[:] / jnp.maximum(l_ref[:, :, :1], 1e-30)
+        out_ref[0, 0] = out.astype(out_ref.dtype)
+
+
+def _decode_kernel_dma(
+    li_ref, slots_ref, starts_ref, win_ref,  # scalar prefetch (SMEM)
+    q_ref, kn_ref, vn_ref, k_hbm, v_hbm, ks_hbm, vs_hbm,
+    out_ref,
+    acc_ref, m_ref, l_ref, kbuf, vbuf, ksbuf, vsbuf, sem,
+    *, cfg: ModelConfig, kind: str, G: int, Tblk: int,
+):
+    """Transposed-cache decode with MANUAL double-buffered DMA and a
+    DYNAMIC per-slot block loop (grid = (B,)).
+
+    The BlockSpec kernels iterate a STATIC kv grid sized by the ALLOCATED
+    context: every block past a slot's real fill still costs a clamped
+    grid step (~0.7 us), so decode time scales with max_len, not fill —
+    measured 300 us/layer at 7B fill=256 over a 4096-cell cache vs a 41 us
+    DMA floor. Here each slot loops `cdiv(start, Tblk)` times, total work
+    scales with the REAL history, and the next block's K/V/scale copies
+    overlap the current block's dot/softmax (guide: double-buffering
+    pattern). K/V stay in ANY/HBM; only [KH, D, Tblk] tiles are resident.
+    Requires layout="dt" and rot_cache (pre-rotated K — the serving
+    default; self-extend uses the BlockSpec kernel)."""
+    b = pl.program_id(0)
+    KH = kbuf.shape[1]
+    start = starts_ref[b]
+    s = jnp.minimum(slots_ref[b], k_hbm.shape[1] - 1)
+    li = li_ref[0]
+    ct = jnp.float32 if kind == "f32" else jnp.bfloat16
+    dims_qk = (((2,), (1,)), ((0,), (0,)))  # [KH,G,D]x[KH,D,T] -> [KH,G,T]
+    dims_pv = (((2,), (2,)), ((0,), (0,)))  # [KH,G,T]x[KH,D,T] -> [KH,G,D]
+    n_blk = (start + Tblk - 1) // Tblk
+    q = q_ref[0, 0].astype(ct)  # [KH, G, D]
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+    l_ref[:] = jnp.zeros_like(l_ref)
+
+    quant = ks_hbm is not None
+
+    def dmas(i, buf):
+        off = i * Tblk
+        cps = [
+            pltpu.make_async_copy(
+                k_hbm.at[li, s, :, :, pl.ds(off, Tblk)], kbuf.at[buf],
+                sem.at[buf, 0]),
+            pltpu.make_async_copy(
+                v_hbm.at[li, s, :, :, pl.ds(off, Tblk)], vbuf.at[buf],
+                sem.at[buf, 1]),
+        ]
+        if quant:
+            cps += [
+                pltpu.make_async_copy(
+                    ks_hbm.at[li, s, :, :, pl.ds(off, Tblk)], ksbuf.at[buf],
+                    sem.at[buf, 2]),
+                pltpu.make_async_copy(
+                    vs_hbm.at[li, s, :, :, pl.ds(off, Tblk)], vsbuf.at[buf],
+                    sem.at[buf, 3]),
+            ]
+        return cps
+
+    @pl.when(n_blk > 0)
+    def _():
+        for cp in dmas(0, 0):
+            cp.start()
+
+    def body(i, _):
+        cur = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < n_blk)
+        def _():
+            for cp in dmas(i + 1, nxt):
+                cp.start()
+
+        for cp in dmas(i, cur):
+            cp.wait()
+        kq = kbuf[cur]  # [KH, Dk2, Tblk] stored form
+        vq = vbuf[cur]
+        if kind == "q4_0":
+            c = kq.astype(jnp.int32)
+            kf = jnp.concatenate([(c & 0xF) - 8, (c >> 4) - 8],
+                                 axis=1).astype(ct)
+            c = vq.astype(jnp.int32)
+            vf = jnp.concatenate([(c & 0xF) - 8, (c >> 4) - 8],
+                                 axis=1).astype(ct)
+        else:
+            kf = kq.astype(ct)
+            vf = vq.astype(ct)
+        sc = jax.lax.dot_general(
+            q, kf, dims_qk, preferred_element_type=jnp.float32)
+        if quant:
+            sc = sc * ksbuf[cur]  # [KH, 1, Tblk] broadcasts over G
+        sc = _softcap(sc * cfg.attention_scale(), cfg)
+        cell = i * Tblk + jax.lax.broadcasted_iota(
+            jnp.int32, (KH, G, Tblk), 2)
+        ok = cell < start
+        w = win_ref[0]
+        ok = ok & ((w <= 0) | (cell > start - w))
+        sc = jnp.where(ok, sc, NEG_INF)
+
+        m_prev = m_ref[:, :, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(sc, axis=2, keepdims=True))
+        p = jnp.exp(sc - m_new)
+        corr = jnp.exp(m_prev - m_new)
+        l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=2, keepdims=True)
+        if quant:
+            p = p * vsbuf[cur]
+        acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
+            p.astype(ct), vf, dims_pv, preferred_element_type=jnp.float32)
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        return 0
+
+    jax.lax.fori_loop(0, n_blk, body, 0)
+
+    # the step's own (in-flight, pre-rotated, full-precision) row
+    kn = kn_ref[0].astype(ct)  # [KH, 1, D]
+    vn = vn_ref[0].astype(jnp.float32)
+    sn = jax.lax.dot_general(
+        q, kn, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    sn = _softcap(sn * cfg.attention_scale(), cfg)  # [KH, G, 1]
+    m_prev = m_ref[:, :, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(sn, axis=2, keepdims=True))
+    p = jnp.exp(sn - m_new)
+    corr = jnp.exp(m_prev - m_new)
+    l_fin = l_ref[:] * corr + jnp.sum(p, axis=2, keepdims=True)
+    acc = acc_ref[:] * corr + p * vn
+    out_ref[0, 0] = (acc / jnp.maximum(l_fin[:, :, :1], 1e-30)
+                     ).astype(out_ref.dtype)
+
+
+def _dma_tblk(T: int, KH: int, Dk2: int, elt: int) -> int | None:
+    """Largest 128-multiple divisor of T whose double-buffered K+V tiles
+    fit a ~4 MB scratch budget; None when T has no usable divisor (caller
+    falls back to the BlockSpec kernel)."""
+    if T % 128:
+        return None
+    budget = 4 << 20
+    best = None
+    for m in range(1, T // 128 + 1):
+        tb = m * 128
+        if T % tb:
+            continue
+        if 4 * KH * Dk2 * tb * elt <= budget:  # 2 planes x 2 buffers
+            best = tb
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "kind", "interpret"))
+def _decode_call_dma(q5, k_new, v_new, k_all, v_all, ks_all, vs_all,
+                     li, slots, starts, win,
+                     *, cfg: ModelConfig, kind: str, interpret: bool,
+                     Tblk: int | None = None):
+    """Manual-DMA transposed-cache decode (see _decode_kernel_dma)."""
+    B, _, KH, G, D = q5.shape
+    T = k_all.shape[4]
+    Dk2 = k_all.shape[3]
+    elt = 4 if kind == "f32" else (2 if kind == "f16" else 1)
+    Tblk = Tblk or _dma_tblk(T, KH, Dk2, elt)
+    assert Tblk is not None and T % Tblk == 0
+
+    def q_map(b, *_):
+        return (b, 0, 0, 0, 0)
+
+    def new_map(b, *_):
+        return (b, 0, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, KH, G, D), q_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, KH, 1, D), new_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, KH, 1, D), new_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    args = [q5, k_new, v_new, k_all, v_all]
+    quant = ks_all is not None
+    if quant:
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY),
+                     pl.BlockSpec(memory_space=pl.ANY)]
+        args += [ks_all[:, :, :, None, :], vs_all[:, :, :, None, :]]
+        kernel = _decode_kernel_dma
+    else:
+        kernel = lambda li, sl, st, wn, q, kn, vn, k, v, o, a, m, l, kb, vb, se, **kw: \
+            _decode_kernel_dma(li, sl, st, wn, q, kn, vn, k, v, None, None,
+                               o, a, m, l, kb, vb, None, None, se, **kw)
+
+    scratch = [
+        pltpu.VMEM((KH, G, D), jnp.float32),
+        pltpu.VMEM((KH, G, 128), jnp.float32),
+        pltpu.VMEM((KH, G, 128), jnp.float32),
+        pltpu.VMEM((2, KH, Dk2, Tblk), k_all.dtype),
+        pltpu.VMEM((2, KH, Dk2, Tblk), v_all.dtype),
+    ]
+    if quant:
+        scratch += [
+            pltpu.VMEM((2, KH, 1, Tblk), jnp.float32),
+            pltpu.VMEM((2, KH, 1, Tblk), jnp.float32),
+        ]
+    scratch += [pltpu.SemaphoreType.DMA((2, 4 if quant else 2))]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, KH, G, D), q_map, memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        functools.partial(kernel, cfg=cfg, kind=kind, G=G, Tblk=Tblk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q5.shape, q5.dtype),
+        interpret=interpret,
+    )(jnp.asarray(li, jnp.int32).reshape(1), slots, starts, win, *args)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "kind", "interpret",
+                                              "rotated"))
+def _decode_call_t(q5, k_new, v_new, k_all, v_all, ks_all, vs_all,
+                   li, slots, starts, win, ga,
+                   *, cfg: ModelConfig, kind: str, interpret: bool,
+                   rotated: bool = True):
+    """Transposed-cache decode: cache k/v [L, S, KH, Dk2, T] (T in lanes);
+    q5/k_new/v_new/scales exactly as _decode_call."""
+    import os as _os
+
+    B, _, KH, G, D = q5.shape
+    T = k_all.shape[4]
+    Dk2 = k_all.shape[3]
+
+    c_budget = int(_os.environ.get("TPU_ENGINE_FA_CBUDGET", str(1 << 18)))
+    Tblk = max(128, c_budget // (KH * D * 4) // 128 * 128)
+    Tblk = min(Tblk, _round_up(T, 128))
+    n_kb = pl.cdiv(T, Tblk)
+    Tpad = Tblk * n_kb
+
+    half = cfg.rope_dim // 2
+    if rotated:  # tables unused: one zero block, never re-fetched
+        cos_t = sin_t = jnp.zeros((half, Tblk), jnp.float32)
+    else:  # transposed tables [rd/2, Tpad] (cells ride lanes)
+        c0, s0 = _rope_tables(Tpad, cfg, ga[0], ga[1])
+        cos_t, sin_t = c0.T, s0.T
+
+    def q_map(b, kb, *_):
+        return (b, 0, 0, 0, 0)
+
+    def new_map(b, kb, *_):
+        return (b, 0, 0, 0)
+
+    def clamp(b, kb, starts):
+        return jnp.minimum(kb, jnp.maximum((starts[b] + Tblk - 1) // Tblk - 1, 0))
+
+    def kv_map(b, kb, li, slots, starts, win):
+        s = jnp.minimum(slots[b], k_all.shape[1] - 1)
+        return (li[0], s, 0, 0, clamp(b, kb, starts))
+
+    def tab_map(b, kb, li, slots, starts, win):
+        if rotated:
+            return (0, 0)
+        return (0, clamp(b, kb, starts))
+
+    in_specs = [
+        pl.BlockSpec((1, 1, KH, G, D), q_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, KH, 1, D), new_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, KH, 1, D), new_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, KH, Dk2, Tblk), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, KH, Dk2, Tblk), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((half, Tblk), tab_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((half, Tblk), tab_map, memory_space=pltpu.VMEM),
+    ]
+    args = [q5, k_new, v_new, k_all, v_all, cos_t, sin_t]
+    if ks_all is not None:
+        def sc_map(b, kb, li, slots, starts, win):
+            s = jnp.minimum(slots[b], k_all.shape[1] - 1)
+            return (li[0], s, 0, 0, clamp(b, kb, starts))
+
+        in_specs += [
+            pl.BlockSpec((1, 1, KH, 1, Tblk), sc_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, KH, 1, Tblk), sc_map, memory_space=pltpu.VMEM),
+        ]
+        args += [ks_all[:, :, :, None, :], vs_all[:, :, :, None, :]]
+        kernel = _decode_kernel_t
+    else:
+        kernel = lambda li, sl, st, wn, q, kn, vn, k, v, co, si, o, a, m, l, **kw: \
+            _decode_kernel_t(li, sl, st, wn, q, kn, vn, k, v, co, si,
+                             None, None, o, a, m, l, **kw)
+    kernel = functools.partial(kernel, rotated=rotated)
+
+    if T != Tpad:
+        pad = [(0, 0)] * 5
+        pad[4] = (0, Tpad - T)
+        args[3] = jnp.pad(args[3], pad)
+        args[4] = jnp.pad(args[4], pad)
+        if ks_all is not None:
+            args[7] = jnp.pad(args[7], pad)
+            args[8] = jnp.pad(args[8], pad)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(B, n_kb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, KH, G, D), q_map, memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((KH, G, D), jnp.float32),
+            pltpu.VMEM((KH, G, 128), jnp.float32),
+            pltpu.VMEM((KH, G, 128), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(kernel, cfg=cfg, kind=kind, G=G, Tblk=Tblk, n_kb=n_kb),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q5.shape, q5.dtype),
+        interpret=interpret,
+    )(jnp.asarray(li, jnp.int32).reshape(1), slots, starts, win, *args)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "kind", "interpret",
                                               "rotated"))
 def _decode_call(q5, k_new, v_new, k_all, v_all, ks_all, vs_all,
@@ -511,6 +936,219 @@ def _prefill_kernel(
         out_ref[0, :, 0] = out[:rows].reshape(Qblk, G, D).astype(out_ref.dtype)
 
 
+def _prefill_kernel_t(
+    li_ref, slots_ref, starts_ref, nv_ref, win_ref,  # scalar prefetch (SMEM)
+    q_ref, kn_ref, vn_ref, k_ref, v_ref, cos_ref, sin_ref, ks_ref, vs_ref,
+    out_ref,
+    acc_ref, m_ref, l_ref,
+    *, cfg: ModelConfig, kind: str, G: int, Qblk: int, Tblk: int, n_kb: int,
+    rotated: bool = False,
+):
+    """Prefill over the TRANSPOSED ("dt") cache: per-(row, kv-head) blocks
+    arrive [Dk2, Tblk] with cells in lanes. K is stored pre-transposed, so
+    scores = q [rows, D] @ k [D, Tblk] is the direct MXU form (the "td"
+    kernel contracts two lane dims), and the q8_0/q4_0 scale row [1, Tblk]
+    broadcasts with no relayout (the "td" kernel reshapes it to a column).
+    PV contracts the lane dims of p [rows, Tblk] and v [D, Tblk]."""
+    b = pl.program_id(0)
+    qb = pl.program_id(2)
+    kb = pl.program_id(3)
+    D = cfg.head_dim
+    rows = Qblk * G
+    RQ = acc_ref.shape[0]
+    Tc = kn_ref.shape[2]
+
+    start = starts_ref[b]  # history length; cells < start are valid
+    last_kb = jnp.maximum((start + Tblk - 1) // Tblk - 1, 0)
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    @pl.when(kb <= last_kb)
+    def _():
+        qx = q_ref[0, :, 0].reshape(rows, D).astype(jnp.float32)
+        if RQ != rows:
+            qx = jnp.pad(qx, ((0, RQ - rows), (0, 0)))
+
+        @pl.when(start > 0)
+        def _():
+            kq = k_ref[0, 0, 0]  # [Dk2, Tblk] stored form
+            vq = v_ref[0, 0, 0]
+            if kind == "q4_0":  # split-half packed along D -> sublane concat
+                c = kq.astype(jnp.int32)
+                kf = jnp.concatenate([(c & 0xF) - 8, (c >> 4) - 8],
+                                     axis=0).astype(jnp.float32)
+                c = vq.astype(jnp.int32)
+                vf = jnp.concatenate([(c & 0xF) - 8, (c >> 4) - 8],
+                                     axis=0).astype(jnp.float32)
+            else:
+                kf = kq.astype(jnp.float32)
+                vf = vq.astype(jnp.float32)
+            if ks_ref is not None:  # [1, Tblk] broadcasts over D rows
+                kf = kf * ks_ref[0, 0, 0]
+                vf = vf * vs_ref[0, 0, 0]
+            if not rotated:
+                half = cfg.rope_dim // 2
+                cos, sin = cos_ref[:], sin_ref[:]  # [rd/2, Tblk]
+                x1, x2 = kf[:half], kf[half:cfg.rope_dim]
+                rot = jnp.concatenate(
+                    [x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=0)
+                if cfg.rope_dim < D:
+                    rot = jnp.concatenate([rot, kf[cfg.rope_dim:]], axis=0)
+                kf = rot
+
+            s = jax.lax.dot_general(
+                qx, kf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * cfg.attention_scale()
+            s = _softcap(s, cfg)
+            col = kb * Tblk + jax.lax.broadcasted_iota(jnp.int32, (RQ, Tblk), 1)
+            ok = col < start
+            w = win_ref[0]  # sliding window; 0 = global
+            row_pos = start + qb * Qblk + (
+                jax.lax.broadcasted_iota(jnp.int32, (RQ, Tblk), 0) // G
+            )
+            ok = ok & ((w <= 0) | (col > row_pos - w))
+            s = jnp.where(ok, s, NEG_INF)
+            # online update with PV contracting the LANE dims (vf [D, T])
+            m_prev = m_ref[:, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m_prev - m_new)
+            l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True)
+            acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
+                p, vf, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+        @pl.when(kb == last_kb)
+        def _():
+            # in-flight block ([Tc, D] row-major): same as the "td" kernel
+            kn = kn_ref[0, 0].astype(jnp.float32)
+            vn = vn_ref[0, 0].astype(jnp.float32)
+            s_new = jax.lax.dot_general(
+                qx, kn, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * cfg.attention_scale()
+            s_new = _softcap(s_new, cfg)
+            row_t = qb * Qblk + jax.lax.broadcasted_iota(jnp.int32, (RQ, Tc), 0) // G
+            col_t = jax.lax.broadcasted_iota(jnp.int32, (RQ, Tc), 1)
+            ok = (col_t <= row_t) & (col_t < nv_ref[b])
+            w = win_ref[0]
+            ok = ok & ((w <= 0) | (col_t > row_t - w))
+            s_new = jnp.where(ok, s_new, NEG_INF)
+            _online_update(s_new, vn, acc_ref, m_ref, l_ref)
+
+    @pl.when(kb == n_kb - 1)
+    def _():
+        out = acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)
+        out_ref[0, :, 0] = out[:rows].reshape(Qblk, G, D).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "kind", "interpret",
+                                              "rotated"))
+def _prefill_call_t(q5, k_new, v_new, k_all, v_all, ks_all, vs_all,
+                    li, slots, starts, n_valid, win, ga,
+                    *, cfg: ModelConfig, kind: str, interpret: bool,
+                    rotated: bool = False):
+    """Transposed-cache prefill: cache k/v [L, S, KH, Dk2, T]."""
+    B, Tc, KH, G, D = q5.shape
+    T = k_all.shape[4]
+    Dk2 = k_all.shape[3]
+
+    Tblk = min(_round_up(T, 128), 512)
+    n_kb = pl.cdiv(T, Tblk)
+    Tpad = Tblk * n_kb
+    Qblk = max(1, min(Tc, 256 // G))
+    while Tc % Qblk:
+        Qblk -= 1
+    n_qb = Tc // Qblk
+    RQ = _round_up(Qblk * G, 8)
+
+    half = cfg.rope_dim // 2
+    if rotated:
+        cos_t = sin_t = jnp.zeros((half, Tblk), jnp.float32)
+    else:
+        c0, s0 = _rope_tables(Tpad, cfg, ga[0], ga[1])
+        cos_t, sin_t = c0.T, s0.T
+
+    def q_map(b, kh, qb, kb, *_):
+        return (b, qb, kh, 0, 0)
+
+    def new_map(b, kh, qb, kb, *_):
+        return (b, kh, 0, 0)
+
+    def clamp_kb(b, kb, starts):
+        return jnp.minimum(kb, jnp.maximum((starts[b] + Tblk - 1) // Tblk - 1, 0))
+
+    def kv_map(b, kh, qb, kb, li, slots, starts, nv, win):
+        s = jnp.minimum(slots[b], k_all.shape[1] - 1)
+        return (li[0], s, kh, 0, clamp_kb(b, kb, starts))
+
+    def tab_map(b, kh, qb, kb, li, slots, starts, nv, win):
+        if rotated:
+            return (0, 0)
+        return (0, clamp_kb(b, kb, starts))
+
+    in_specs = [
+        pl.BlockSpec((1, Qblk, 1, G, D), q_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Tc, D), new_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Tc, D), new_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, Dk2, Tblk), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, Dk2, Tblk), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((half, Tblk), tab_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((half, Tblk), tab_map, memory_space=pltpu.VMEM),
+    ]
+    args = [q5, k_new, v_new, k_all, v_all, cos_t, sin_t]
+    if ks_all is not None:
+        def sc_map(b, kh, qb, kb, li, slots, starts, nv, win):
+            s = jnp.minimum(slots[b], k_all.shape[1] - 1)
+            return (li[0], s, kh, 0, clamp_kb(b, kb, starts))
+
+        in_specs += [
+            pl.BlockSpec((1, 1, 1, 1, Tblk), sc_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 1, Tblk), sc_map, memory_space=pltpu.VMEM),
+        ]
+        args += [ks_all[:, :, :, None, :], vs_all[:, :, :, None, :]]
+        kernel = _prefill_kernel_t
+    else:
+        kernel = lambda li, sl, st, nv, wn, q, kn, vn, k, v, co, si, o, a, m, l, **kw: \
+            _prefill_kernel_t(li, sl, st, nv, wn, q, kn, vn, k, v, co, si,
+                              None, None, o, a, m, l, **kw)
+    kernel = functools.partial(kernel, rotated=rotated)
+
+    if T != Tpad:
+        pad = [(0, 0)] * 5
+        pad[4] = (0, Tpad - T)
+        args[3] = jnp.pad(args[3], pad)
+        args[4] = jnp.pad(args[4], pad)
+        if ks_all is not None:
+            args[7] = jnp.pad(args[7], pad)
+            args[8] = jnp.pad(args[8], pad)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(B, KH, n_qb, n_kb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, Qblk, 1, G, D), q_map, memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((RQ, D), jnp.float32),
+            pltpu.VMEM((RQ, 128), jnp.float32),
+            pltpu.VMEM((RQ, 128), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(kernel, cfg=cfg, kind=kind, G=G, Qblk=Qblk,
+                          Tblk=Tblk, n_kb=n_kb),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q5.shape, q5.dtype),
+        interpret=interpret,
+    )(jnp.asarray(li, jnp.int32).reshape(1), slots, starts, n_valid, win, *args)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "kind", "interpret",
                                               "rotated"))
 def _prefill_call(q5, k_new, v_new, k_all, v_all, ks_all, vs_all,
@@ -635,15 +1273,30 @@ def flash_attention(q, cache, li, slot_ids, q_pos, n_valid, k_new, v_new,
     if win is None:
         win = cfg.layer_window(li)
     win = jnp.asarray(win, jnp.int32).reshape(1)
+    dt = cache.layout == "dt"
     if Tc == 1:
-        out = _decode_call(
+        elt = {"f32": 4, "f16": 2}.get(cache.kind, 1)
+        if (dt and rot_cache
+                and _dma_tblk(cache.k.shape[4], KH, cache.k.shape[3], elt)):
+            # the serving fast path: dynamic per-slot block loop, cost
+            # scales with real fill (see _decode_kernel_dma)
+            out = _decode_call_dma(
+                q5, k_new, v_new, cache.k, cache.v,
+                cache.k_scale, cache.v_scale,
+                li, slot_ids.astype(jnp.int32), starts, win,
+                cfg=cfg, kind=cache.kind, interpret=_INTERPRET,
+            )
+            return out.reshape(B, Tc, H, D)
+        fn = _decode_call_t if dt else _decode_call
+        out = fn(
             q5, k_new, v_new, cache.k, cache.v, cache.k_scale, cache.v_scale,
             li, slot_ids.astype(jnp.int32), starts, win, ga,
             cfg=cfg, kind=cache.kind, interpret=_INTERPRET,
             rotated=rot_cache,
         )
     else:
-        out = _prefill_call(
+        fn = _prefill_call_t if dt else _prefill_call
+        out = fn(
             q5, k_new, v_new, cache.k, cache.v, cache.k_scale, cache.v_scale,
             li, slot_ids.astype(jnp.int32), starts,
             n_valid.astype(jnp.int32), win, ga,

@@ -61,19 +61,32 @@ _BATCH_APPEND = _os.environ.get("TPU_ENGINE_BATCH_APPEND", "0") == "1"
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class KVCache:
-    k: jax.Array  # [L, S, KH, T, D] (compute dtype; int8/uint8-packed when quantized)
-    v: jax.Array  # [L, S, KH, T, D]  (q4_0: [..., D//2])
+    """layout (static):
+      "td" — cells [L, S, KH, T, D] (q4_0: [..., T, D//2]). D rides the
+             lane dim: at D=64 (or q4_0's packed D/2) every native
+             (8, 128) tile is HALF EMPTY in HBM — storage AND bandwidth.
+      "dt" — cells [L, S, KH, D, T] (q4_0: [..., D//2, T]). T rides the
+             lane dim (always 128-aligned): full tiles at any head_dim,
+             K arrives pre-transposed for the QK^T MXU dot, and the
+             q8_0/q4_0 per-token scale row [T] broadcasts over D rows
+             with no relayout. Scale planes are [L, S, KH, T] either way.
+    """
+    k: jax.Array
+    v: jax.Array
     lengths: jax.Array  # [S] int32: occupied cells per slot
     k_scale: jax.Array | None = None  # [L, S, KH, T] f32 when quantized
     v_scale: jax.Array | None = None
     kind: str = "f32"  # static: one of KV_KINDS
+    layout: str = "td"  # static: "td" | "dt"
 
     def tree_flatten(self):
-        return (self.k, self.v, self.lengths, self.k_scale, self.v_scale), self.kind
+        return ((self.k, self.v, self.lengths, self.k_scale, self.v_scale),
+                (self.kind, self.layout))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, kind=aux)
+        kind, layout = aux if isinstance(aux, tuple) else (aux, "td")
+        return cls(*children, kind=kind, layout=layout)
 
     @property
     def n_layer(self) -> int:
@@ -85,7 +98,7 @@ class KVCache:
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[3]
+        return self.k.shape[4 if self.layout == "dt" else 3]
 
     @property
     def quantized(self) -> bool:
@@ -101,34 +114,44 @@ def new_cache(
     dtype=jnp.float32,
     quantized: bool = False,
     kind: str | None = None,
+    layout: str = "td",
 ) -> KVCache:
     if kind is None:
         kind = "q8_0" if quantized else ("f32" if dtype == jnp.float32 else "f16")
     if kind not in KV_KINDS:
         raise ValueError(f"kv cache kind {kind!r} not in {KV_KINDS}")
-    shape = (n_layer, n_slots, n_kv_head, max_len, head_dim)
+    if layout not in ("td", "dt"):
+        raise ValueError(f"kv cache layout {layout!r} not in ('td', 'dt')")
+
+    def cshape(d):
+        return ((n_layer, n_slots, n_kv_head, d, max_len) if layout == "dt"
+                else (n_layer, n_slots, n_kv_head, max_len, d))
+
+    sshape = (n_layer, n_slots, n_kv_head, max_len)
     lengths = jnp.zeros((n_slots,), jnp.int32)
     if kind in ("q8_0", "q4_0"):
         if kind == "q4_0":
             if head_dim % 2:
                 raise ValueError("q4_0 KV needs even head_dim")
-            cshape, cdt = shape[:-1] + (head_dim // 2,), jnp.uint8
+            cs, cdt = cshape(head_dim // 2), jnp.uint8
         else:
-            cshape, cdt = shape, jnp.int8
+            cs, cdt = cshape(head_dim), jnp.int8
         return KVCache(
-            k=jnp.zeros(cshape, cdt),
-            v=jnp.zeros(cshape, cdt),
+            k=jnp.zeros(cs, cdt),
+            v=jnp.zeros(cs, cdt),
             lengths=lengths,
-            k_scale=jnp.zeros(shape[:-1], jnp.float32),
-            v_scale=jnp.zeros(shape[:-1], jnp.float32),
+            k_scale=jnp.zeros(sshape, jnp.float32),
+            v_scale=jnp.zeros(sshape, jnp.float32),
             kind=kind,
+            layout=layout,
         )
     cdtype = jnp.bfloat16 if kind == "f16" else dtype
     return KVCache(
-        k=jnp.zeros(shape, cdtype),
-        v=jnp.zeros(shape, cdtype),
+        k=jnp.zeros(cshape(head_dim), cdtype),
+        v=jnp.zeros(cshape(head_dim), cdtype),
         lengths=lengths,
         kind=kind,
+        layout=layout,
     )
 
 
@@ -174,10 +197,11 @@ def dequant_kv(cells: jax.Array, scale: jax.Array | None, kind: str,
 
 
 def _put_slot_windows(arr: jax.Array, vals: jax.Array, slot_ids, starts,
-                      n_valid, active) -> jax.Array:
-    """Write vals [L, B, Tc, KH, *] into arr [L, S, KH, T, *]: row b's valid
-    tokens land at cells [starts[b], starts[b]+n_valid[b]) of slot
-    slot_ids[b], across ALL layers in one dynamic_update_slice per slot.
+                      n_valid, active, layout: str = "td") -> jax.Array:
+    """Write vals [L, B, KH, Tc, *] into arr [L, S, KH, T, *] (layout
+    "td") or [L, S, KH, *, T] (layout "dt"): row b's valid tokens land at
+    cells [starts[b], starts[b]+n_valid[b]) of slot slot_ids[b], across
+    ALL layers in one dynamic_update_slice per slot.
 
     The window start clamps to T-Tc when the padded window would cross the
     end (valid tokens always fit — engine invariant lengths + n_valid <=
@@ -185,14 +209,20 @@ def _put_slot_windows(arr: jax.Array, vals: jax.Array, slot_ids, starts,
     pad tokens, and inactive rows keep their old cells via a
     read-modify-write.
 
-    vals arrive with the T axis ALREADY in storage order ([..., KH, Tc, *])
-    so no transpose sits between the new rows and the update — a transpose
-    there makes XLA layout-assign the whole cache to a transposed layout
-    and insert a full-cache relayout copy every step (measured 2.2 ms/step
-    at 4k ctx)."""
+    Under "td", vals arrive with the T axis ALREADY in storage order
+    ([..., KH, Tc, *]) so no transpose sits between the new rows and the
+    update — a transpose there makes XLA layout-assign the whole cache to
+    a transposed layout and insert a full-cache relayout copy every step
+    (measured 2.2 ms/step at 4k ctx). Under "dt" the SMALL vals array is
+    transposed to [..., KH, *, Tc] here (cheap; the cache side stays in
+    its native layout). Scale planes ([L, S, KH, T]) already store T
+    minor and take the "td" path in both layouts."""
+    is_scale = vals.ndim == 4  # scale planes [L, B, KH, Tc]
+    if layout == "dt" and not is_scale:
+        return _put_slot_windows_dt(arr, vals, slot_ids, starts, n_valid,
+                                    active)
     L, B, Tc = vals.shape[0], vals.shape[1], vals.shape[3]
     KH, T = arr.shape[2], arr.shape[3]
-    is_scale = vals.ndim == 4  # scale planes [L, B, KH, Tc]
     sizes = (L, 1, KH, Tc) + (() if is_scale else (arr.shape[4],))
     if Tc == 1:
         if _BATCH_APPEND:
@@ -234,23 +264,59 @@ def _put_slot_windows(arr: jax.Array, vals: jax.Array, slot_ids, starts,
     return arr
 
 
+def _put_slot_windows_dt(arr: jax.Array, vals: jax.Array, slot_ids, starts,
+                         n_valid, active) -> jax.Array:
+    """"dt" cell planes: arr [L, S, KH, Dk, T], vals [L, B, KH, Tc, Dk].
+    Same window semantics as the "td" path; new cells land as [Dk, Tc]
+    column blocks at lane offset starts[b]."""
+    L, B, Tc = vals.shape[0], vals.shape[1], vals.shape[3]
+    KH, Dk, T = arr.shape[2], arr.shape[3], arr.shape[4]
+    vt = jnp.swapaxes(vals, 3, 4)  # [L, B, KH, Dk, Tc] (small array)
+    sizes = (L, 1, KH, Dk, Tc)
+    if Tc == 1:
+        for b in range(B):
+            pos = (0, slot_ids[b], 0, 0, jnp.minimum(starts[b], T - 1))
+            val = vt[:, b][:, None].astype(arr.dtype)
+            arr = jax.lax.cond(
+                active[b] & (n_valid[b] > 0),
+                lambda a, v=val, p=pos: jax.lax.dynamic_update_slice(a, v, p),
+                lambda a: a,
+                arr,
+            )
+        return arr
+    for b in range(B):
+        s_c = jnp.clip(starts[b], 0, max(T - Tc, 0))
+        d = starts[b] - s_c  # >= 0
+        val = jnp.roll(vt[:, b], d, axis=3)[:, None]  # [L, 1, KH, Dk, Tc]
+        j = jnp.arange(Tc, dtype=jnp.int32)
+        ok = active[b] & (j >= d) & (j - d < n_valid[b])
+        pos = (0, slot_ids[b], 0, 0, s_c)
+        old = jax.lax.dynamic_slice(arr, pos, sizes)
+        mask = ok[None, None, None, None, :]
+        arr = jax.lax.dynamic_update_slice(
+            arr, jnp.where(mask, val.astype(arr.dtype), old), pos)
+    return arr
+
+
 def append_step(cache: KVCache, k_rows: jax.Array, v_rows: jax.Array,
                 slot_ids, starts, n_valid, active) -> KVCache:
     """Append one step's stacked new rows (k/v_rows [L, B, KH, Tc, D],
     UNROTATED, T axis already in storage order) for all layers at once;
     quantizes for q8_0/q4_0 kinds. Does NOT update lengths (the forward
     step owns that)."""
+    lay = cache.layout
     if cache.kind in ("q8_0", "q4_0"):
         kc, ks = quantize_kv_rows(k_rows, cache.kind)
         vc, vs = quantize_kv_rows(v_rows, cache.kind)
-        k = _put_slot_windows(cache.k, kc, slot_ids, starts, n_valid, active)
-        v = _put_slot_windows(cache.v, vc, slot_ids, starts, n_valid, active)
-        ksc = _put_slot_windows(cache.k_scale, ks, slot_ids, starts, n_valid, active)
-        vsc = _put_slot_windows(cache.v_scale, vs, slot_ids, starts, n_valid, active)
-        return KVCache(k, v, cache.lengths, ksc, vsc, cache.kind)
-    k = _put_slot_windows(cache.k, k_rows, slot_ids, starts, n_valid, active)
-    v = _put_slot_windows(cache.v, v_rows, slot_ids, starts, n_valid, active)
-    return KVCache(k, v, cache.lengths, cache.k_scale, cache.v_scale, cache.kind)
+        k = _put_slot_windows(cache.k, kc, slot_ids, starts, n_valid, active, lay)
+        v = _put_slot_windows(cache.v, vc, slot_ids, starts, n_valid, active, lay)
+        ksc = _put_slot_windows(cache.k_scale, ks, slot_ids, starts, n_valid, active, lay)
+        vsc = _put_slot_windows(cache.v_scale, vs, slot_ids, starts, n_valid, active, lay)
+        return KVCache(k, v, cache.lengths, ksc, vsc, cache.kind, lay)
+    k = _put_slot_windows(cache.k, k_rows, slot_ids, starts, n_valid, active, lay)
+    v = _put_slot_windows(cache.v, v_rows, slot_ids, starts, n_valid, active, lay)
+    return KVCache(k, v, cache.lengths, cache.k_scale, cache.v_scale,
+                   cache.kind, lay)
 
 
 # -- seq ops (all jit-able, all metadata/index arithmetic) -------------------
@@ -258,7 +324,7 @@ def append_step(cache: KVCache, k_rows: jax.Array, v_rows: jax.Array,
 def clear_all(cache: KVCache) -> KVCache:
     """Reference: llama_kv_cache_clear (llama_server_context.cc:287)."""
     return KVCache(cache.k, cache.v, jnp.zeros_like(cache.lengths),
-                   cache.k_scale, cache.v_scale, cache.kind)
+                   cache.k_scale, cache.v_scale, cache.kind, cache.layout)
 
 
 @jax.jit
@@ -269,7 +335,7 @@ def trim(cache: KVCache, slot: jax.Array, n: jax.Array) -> KVCache:
         jnp.minimum(cache.lengths[slot], n).astype(jnp.int32)
     )
     return KVCache(cache.k, cache.v, lengths, cache.k_scale, cache.v_scale,
-                   cache.kind)
+                   cache.kind, cache.layout)
 
 
 @jax.jit
@@ -291,7 +357,7 @@ def seq_cp(cache: KVCache, src: jax.Array, dst: jax.Array) -> KVCache:
     rows; the occupied length governs validity."""
     k, v, ks, vs = _map_planes(cache, lambda a: a.at[:, dst].set(a[:, src]))
     lengths = cache.lengths.at[dst].set(cache.lengths[src])
-    return KVCache(k, v, lengths, ks, vs, cache.kind)
+    return KVCache(k, v, lengths, ks, vs, cache.kind, cache.layout)
 
 
 @partial(jax.jit, static_argnames=("rope",))
@@ -314,17 +380,25 @@ def shift_compact(cache: KVCache, slot: jax.Array, n_keep: jax.Array,
     exactly like upstream llama.cpp's K-shift on a quantized cache.
     """
     T = cache.max_len
+    dt = cache.layout == "dt"
     idx = jnp.arange(T, dtype=jnp.int32)
     # source index for each destination cell
     src = jnp.where(idx > n_keep, idx + n_discard, idx)
     src = jnp.minimum(src, T - 1)
-    moved = (src != idx)[None, :, None]  # [1, T, 1] over [KH, T, D*]
+    moved_t = src != idx  # [T]
 
-    def gather_slot(arr):
-        # arr [L, S, KH, T, ...]: gather the T axis of the picked slot
+    def gather_slot(arr, t_last: bool):
+        # gather the T axis of the picked slot: axis -1 when T is minor
+        # ("dt" cells and BOTH layouts' scale planes), else axis 2 of the
+        # sliced [L, KH, T, D*]
+        if t_last:
+            return arr.at[:, slot].set(arr[:, slot][..., src])
         return arr.at[:, slot].set(arr[:, slot][:, :, src])
 
-    k, v, ks, vs = _map_planes(cache, gather_slot)
+    k = gather_slot(cache.k, dt)
+    v = gather_slot(cache.v, dt)
+    ks = gather_slot(cache.k_scale, True) if cache.k_scale is not None else None
+    vs = gather_slot(cache.v_scale, True) if cache.v_scale is not None else None
 
     if rope is not None:
         rd, inv_freq_t = rope
@@ -341,19 +415,38 @@ def shift_compact(cache: KVCache, slot: jax.Array, n_keep: jax.Array,
                 out = jnp.concatenate([out, rest], axis=-1)
             return out
 
-        krow = k[:, slot]  # [L, KH, T, D*]
+        krow = k[:, slot]  # [L, KH, T, D*] ("td") | [L, KH, D*, T] ("dt")
+        if dt:  # normalize to [..., T, D*] for the shared rot/requant path
+            krow = jnp.swapaxes(krow, -1, -2)
+        moved = moved_t[None, :, None]  # [1, T, 1] over [KH, T, D*]
         if cache.kind in ("q8_0", "q4_0"):
             kd = dequant_kv(krow, ks[:, slot], cache.kind)
             kr = rot_delta(kd)
             qc, qsc = quantize_kv_rows(kr, cache.kind)
-            mc = moved if cache.kind == "q8_0" else moved
-            k = k.at[:, slot].set(jnp.where(mc, qc, krow))
+            newk = jnp.where(moved, qc, krow)
             ks = ks.at[:, slot].set(
                 jnp.where(moved[..., 0], qsc, ks[:, slot]))
         else:
-            kr = rot_delta(krow.astype(jnp.float32))
-            k = k.at[:, slot].set(
-                jnp.where(moved, kr, krow.astype(jnp.float32)).astype(k.dtype))
+            newk = jnp.where(moved, rot_delta(krow.astype(jnp.float32)),
+                             krow.astype(jnp.float32))
+        if dt:
+            newk = jnp.swapaxes(newk, -1, -2)
+        k = k.at[:, slot].set(newk.astype(k.dtype))
 
     lengths = cache.lengths.at[slot].set(cache.lengths[slot] - n_discard)
-    return KVCache(k, v, lengths, ks, vs, cache.kind)
+    return KVCache(k, v, lengths, ks, vs, cache.kind, cache.layout)
+
+
+def default_layout(kind: str | None, head_dim: int) -> str:
+    """Storage layout policy (see KVCache.layout): the transposed "dt"
+    layout whenever "td" would waste lanes — any quantized kind (q4_0
+    packs D/2 bytes; q8_0 gains the pre-transposed K dot + lane-resident
+    scales) or head_dim < 128 (half-empty (8, 128) tiles). f16/f32 at
+    D >= 128 keeps the proven "td" path. TPU_ENGINE_KV_LAYOUT overrides
+    for A/B measurement."""
+    env = _os.environ.get("TPU_ENGINE_KV_LAYOUT", "")
+    if env in ("td", "dt"):
+        return env
+    if kind in ("q8_0", "q4_0") or head_dim < 128:
+        return "dt"
+    return "td"

@@ -140,8 +140,12 @@ def attention_reference(
     G = H // KH
     ks = cache.k_scale[li, slot_ids] if cache.k_scale is not None else None
     vs = cache.v_scale[li, slot_ids] if cache.v_scale is not None else None
-    kf = dequant_kv(cache.k[li, slot_ids], ks, cache.kind)  # [B, KH, T, D]
-    vf = dequant_kv(cache.v[li, slot_ids], vs, cache.kind)
+    kc, vc = cache.k[li, slot_ids], cache.v[li, slot_ids]
+    if cache.layout == "dt":  # [B, KH, D*, T] -> [B, KH, T, D*] (the XLA
+        kc = jnp.swapaxes(kc, -1, -2)  # reference path is CPU/correctness
+        vc = jnp.swapaxes(vc, -1, -2)  # only; the Pallas kernels read the
+    kf = dequant_kv(kc, ks, cache.kind)  # transposed form natively)
+    vf = dequant_kv(vc, vs, cache.kind)  # [B, KH, T, D]
     T = kf.shape[2]
     cell = jnp.arange(T, dtype=jnp.int32)[None, :].repeat(B, 0)  # [B, T]
     kf = jnp.swapaxes(kf, 1, 2)  # [B, T, KH, D] for apply_rope
@@ -416,7 +420,7 @@ def _forward(
     )
     new_lengths = cache.lengths.at[slot_ids].set(lengths.astype(jnp.int32))
     new_cache = KVCache(cache.k, cache.v, new_lengths, cache.k_scale,
-                        cache.v_scale, cache.kind)
+                        cache.v_scale, cache.kind, cache.layout)
     return logits, new_cache, pooled
 
 

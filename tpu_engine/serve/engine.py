@@ -101,10 +101,13 @@ class InferenceEngine:
         self.prefill_buckets = tuple(b for b in prefill_buckets if b <= max(n_batch, 16))
 
         self.clip = clip
+        from ..kvcache.cache import default_layout
+
         cache = new_cache(
             self.cfg.n_layer, n_parallel, self.slot_ctx,
             self.cfg.n_kv_head, self.cfg.head_dim, dtype=kv_cache_dtype,
             kind=cache_type,
+            layout=default_layout(cache_type, self.cfg.head_dim),
         )
         self.slots = [Slot(i, self.slot_ctx) for i in range(n_parallel)]
 
