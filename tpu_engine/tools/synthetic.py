@@ -24,6 +24,10 @@ PRESETS = {
     "tiny": (2, 256, 4, 2, 256, 384),  # unit tests
     "mini": (4, 512, 8, 4, 1024, 2048),  # fast integration
     "tinyllama-1.1b": (22, 2048, 32, 4, 5632, 32000),  # bench config 1
+    # tinyllama head geometry (32 q / 4 kv heads, D=64, E=2048) at 2 layers
+    # + small ffn/vocab: realistic TP/DP tile shapes, bounded runtime
+    # (__graft_entry__.dryrun_multichip; round-4 verdict weak #7)
+    "tinyllama-2l": (2, 2048, 32, 4, 2048, 4096),
     "llama2-7b": (32, 4096, 32, 32, 11008, 32000),  # north-star (BASELINE.md)
     "llama3-8b": (32, 4096, 32, 8, 14336, 128256),
 }
