@@ -846,16 +846,53 @@ class InferenceEngine:
             s.n_past = len(self.sys_tokens)
 
     # -- the hot loop --------------------------------------------------------
+    def _chunk_starved(self, s: Slot) -> bool:
+        """True when this generating slot's remaining context can't fit the
+        decode chunk it would otherwise run. Shifting at this point instead
+        of at hard capacity keeps chunked device decode going: without it a
+        request approaching the window degenerates 128 -> 64 -> 16 -> 1
+        (per-token host round-trips) before the shift finally fires —
+        measured 20 tok/s single-slot on v5e for exactly this reason
+        (round-4 verdict #6). Evicting a few tokens early discards LESS
+        per shift (n_discard scales with n_past) and the same head-pinning
+        policy applies, so generation quality semantics are unchanged."""
+        if s.state != SlotState.GENERATING:
+            return False
+        room = self.slot_ctx - s.n_past - 1
+        if room <= 0:
+            return True
+        if not self.ctx_shift or self.decode_chunk <= 1:
+            return False  # only hard capacity triggers (handled above)
+        if s.params and s.params.stream:
+            want = self.stream_chunk
+        elif s.params and s.params.stop:
+            want = self.stop_chunk
+        else:
+            want = self.decode_chunk
+        if s.n_remaining >= 0:
+            # a request that FITS its window never shifts early: room and
+            # remaining move in lockstep (n_past + remaining is constant),
+            # so room >= remaining holds for its whole life if it holds at
+            # launch — early shift fires only for requests that would have
+            # shifted at capacity anyway, just a fraction of a chunk sooner
+            want = min(want, s.n_remaining)
+        # never shift a less-than-half-full slot (a slot window smaller
+        # than the configured chunk would otherwise thrash-shift from the
+        # first iteration)
+        return room < min(want, self.slot_ctx // 2)
+
     def _update_slots(self) -> None:
         """One engine iteration (reference UpdateSlots :1248-1710)."""
-        # 1) context shift for generating slots at capacity (ref :1274-1306)
+        # 1) context shift for generating slots at capacity — or short of
+        # chunk room (ref :1274-1306; see _chunk_starved)
         if self._spec_q and any(
-            s.state == SlotState.GENERATING and s.n_past >= self.slot_ctx
-            for s in self.slots
+            s.n_past >= self.slot_ctx or self._chunk_starved(s)
+            for s in self.slots if s.state == SlotState.GENERATING
         ):
             self._settle_all()
         for s in self.slots:
-            if s.state == SlotState.GENERATING and s.n_past >= self.slot_ctx:
+            if s.state == SlotState.GENERATING and (
+                    s.n_past >= self.slot_ctx or self._chunk_starved(s)):
                 if not self.ctx_shift:
                     s.truncated = True
                     s.stop_reason = StopReason.LIMIT
@@ -1314,8 +1351,11 @@ class InferenceEngine:
         # tolerate a quarter-chunk of over-generation (trimmed later):
         # strict budget gating de-pipelines every request tail — e.g. a
         # 256-token request with 128-chunks is 255 remaining vs 256 ahead
-        # after its first sampled token, and would run fully serial
-        slack = n_inner // 4
+        # after its first sampled token, and would run fully serial. A
+        # LONE slot gets a full chunk of slack: the device would sit idle
+        # across the pull round-trip otherwise, so over-decoding its tail
+        # costs nothing (the overrun cells are trimmed)
+        slack = n_inner if len(gen) == 1 else n_inner // 4
         return (
             self._tasks.empty()
             and not self._deferred
