@@ -270,12 +270,22 @@ def _cfg3(sp) -> list:
     try:
         eng.warm_up()
         long_prompt = [3 + (i % 200) for i in range(2048)]
-        t0 = time.time()
-        tids = [eng.request_completion(CompletionParams(
-            prompt=long_prompt, n_predict=128, sampling=sp,
-            cache_prompt=False)) for _ in range(8)]
-        rs = [_drain(eng, tid) for tid in tids]
-        wall = time.time() - t0
+
+        def run_batch(n_predict):
+            t0 = time.time()
+            tids = [eng.request_completion(CompletionParams(
+                prompt=long_prompt, n_predict=n_predict, sampling=sp,
+                cache_prompt=True)) for _ in range(8)]
+            rs = [_drain(eng, tid) for tid in tids]
+            return rs, time.time() - t0
+
+        # pass 1 fills all 8 slots' prompt caches (prefill throughput);
+        # pass 2 hits the prefix cache, so its timing is DECODE at fill
+        # ~2k — without the split, 8x2048 tokens of async-queued prefill
+        # compute landed inside predicted_ms and the metric measured
+        # prefill, not flash-decode
+        _, prefill_wall = run_batch(1)
+        rs, wall = run_batch(128)
         total = sum(r.tokens_predicted for r in rs)
         els = [r.timings.get("predicted_ms", 0.0) for r in rs]
         el = max(els) / 1e3
@@ -289,7 +299,8 @@ def _cfg3(sp) -> list:
         return [{"metric": "cfg3_q8_0_kv_flash_decode_fill2k_tok_per_s",
                  "value": round(rate, 2), "unit": "tokens/s",
                  "vs_baseline": round(rate / tiny_roofline, 4),
-                 "note": f"8 slots, fill 2048, wall {wall:.1f}s; "
+                 "note": f"8 slots, fill 2048, decode wall {wall:.1f}s, "
+                         f"8x2048-tok prefill {prefill_wall:.1f}s; "
                          "vs_baseline = fraction of weight-read roofline"}]
     finally:
         eng.shutdown()

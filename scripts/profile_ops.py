@@ -48,8 +48,11 @@ def main():
 
     lm = load_model(PATH)
     w, cfg = lm.weights, lm.cfg
+    from tpu_engine.kvcache.cache import default_layout
     cache = new_cache(cfg.n_layer, S, CTX_SLOT, cfg.n_kv_head, cfg.head_dim,
-                      dtype=jnp.bfloat16, kind="f16")
+                      dtype=jnp.bfloat16, kind=os.environ.get("PROF_KV", "f16"),
+                      layout=default_layout(os.environ.get("PROF_KV", "f16"),
+                                            cfg.head_dim))
     act = jnp.ones((S,), bool)
     params = params_from_host([SamplingParams(temperature=0.0)] * S)
     st = new_state(S, seed=0)

@@ -413,40 +413,42 @@ def _decode_kernel_dma(
     q_ref, kn_ref, vn_ref, k_hbm, v_hbm, ks_hbm, vs_hbm,
     out_ref,
     acc_ref, m_ref, l_ref, kbuf, vbuf, ksbuf, vsbuf, sem,
-    *, cfg: ModelConfig, kind: str, G: int, Tblk: int,
+    *, cfg: ModelConfig, kind: str, G: int, Tblk: int, B: int,
 ):
-    """Transposed-cache decode with MANUAL double-buffered DMA and a
-    DYNAMIC per-slot block loop (grid = (B,)).
+    """Transposed-cache decode with MANUAL double-buffered DMA over ONE
+    flat dynamic (slot, block) loop (grid = (1,)).
 
     The BlockSpec kernels iterate a STATIC kv grid sized by the ALLOCATED
     context: every block past a slot's real fill still costs a clamped
     grid step (~0.7 us), so decode time scales with max_len, not fill —
     measured 300 us/layer at 7B fill=256 over a 4096-cell cache vs a 41 us
-    DMA floor. Here each slot loops `cdiv(start, Tblk)` times, total work
-    scales with the REAL history, and the next block's K/V/scale copies
-    overlap the current block's dot/softmax (guide: double-buffering
-    pattern). K/V stay in ANY/HBM; only [KH, D, Tblk] tiles are resident.
-    Requires layout="dt" and rot_cache (pre-rotated K — the serving
-    default; self-extend uses the BlockSpec kernel)."""
-    b = pl.program_id(0)
+    DMA floor. Here the loop visits only the `cdiv(start_b, Tblk)` live
+    blocks of every slot, and the NEXT iteration's copies — even across a
+    slot boundary — overlap the current block's dot/softmax (a per-slot
+    grid left the slot's first DMA latency exposed ~4 us x B per layer:
+    measured 58 us/layer at 7B fill~150 vs ~25 for this form). K/V stay
+    in ANY/HBM; only [KH, D, Tblk] tiles are VMEM-resident. Accumulators
+    carry every slot ([B, KH, G, *]) so the in-flight fold and the final
+    normalize run once, vectorized over B. Requires layout="dt" and
+    rot_cache (pre-rotated K — the serving default; self-extend uses the
+    BlockSpec kernel)."""
     KH = kbuf.shape[1]
-    start = starts_ref[b]
-    s = jnp.minimum(slots_ref[b], k_hbm.shape[1] - 1)
     li = li_ref[0]
     ct = jnp.float32 if kind == "f32" else jnp.bfloat16
     dims_qk = (((2,), (1,)), ((0,), (0,)))  # [KH,G,D]x[KH,D,T] -> [KH,G,T]
     dims_pv = (((2,), (2,)), ((0,), (0,)))  # [KH,G,T]x[KH,D,T] -> [KH,G,D]
-    n_blk = (start + Tblk - 1) // Tblk
-    q = q_ref[0, 0].astype(ct)  # [KH, G, D]
+    quant = ks_hbm is not None
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
     m_ref[:] = jnp.full_like(m_ref, NEG_INF)
     l_ref[:] = jnp.zeros_like(l_ref)
 
-    quant = ks_hbm is not None
+    def nblk(b):
+        return (starts_ref[b] + Tblk - 1) // Tblk
 
-    def dmas(i, buf):
+    def dmas(b, i, buf):
         off = i * Tblk
+        s = jnp.minimum(slots_ref[b], k_hbm.shape[1] - 1)
         cps = [
             pltpu.make_async_copy(
                 k_hbm.at[li, s, :, :, pl.ds(off, Tblk)], kbuf.at[buf],
@@ -466,24 +468,43 @@ def _decode_kernel_dma(
             ]
         return cps
 
-    @pl.when(n_blk > 0)
+    def first_live(b):
+        # smallest b' >= b with work; B when none remain
+        def cond(bb):
+            return (bb < B) & (nblk(bb) == 0)
+
+        return jax.lax.while_loop(cond, lambda bb: bb + 1, b)
+
+    def nxt_pair(b, i):
+        # successor of (b, i) in the flat walk; b == B past the end
+        return jax.lax.cond(
+            i + 1 < nblk(b),
+            lambda: (b, i + 1),
+            lambda: (first_live(b + 1), 0),
+        )
+
+    b0 = first_live(0)
+
+    @pl.when(b0 < B)
     def _():
-        for cp in dmas(0, 0):
+        for cp in dmas(b0, 0, 0):
             cp.start()
 
-    def body(i, _):
-        cur = jax.lax.rem(i, 2)
-        nxt = jax.lax.rem(i + 1, 2)
+    def body(state):
+        b, i, buf = state
+        bn, in_ = nxt_pair(b, i)
 
-        @pl.when(i + 1 < n_blk)
+        @pl.when(bn < B)
         def _():
-            for cp in dmas(i + 1, nxt):
+            for cp in dmas(bn, in_, 1 - buf):
                 cp.start()
 
-        for cp in dmas(i, cur):
+        for cp in dmas(b, i, buf):
             cp.wait()
-        kq = kbuf[cur]  # [KH, Dk2, Tblk] stored form
-        vq = vbuf[cur]
+        start = starts_ref[b]
+        q = q_ref[b, 0].astype(ct)  # [KH, G, D]
+        kq = kbuf[buf]  # [KH, Dk2, Tblk] stored form
+        vq = vbuf[buf]
         if kind == "q4_0":
             c = kq.astype(jnp.int32)
             kf = jnp.concatenate([(c & 0xF) - 8, (c >> 4) - 8],
@@ -497,7 +518,7 @@ def _decode_kernel_dma(
         sc = jax.lax.dot_general(
             q, kf, dims_qk, preferred_element_type=jnp.float32)
         if quant:
-            sc = sc * ksbuf[cur]  # [KH, 1, Tblk] broadcasts over G
+            sc = sc * ksbuf[buf]  # [KH, 1, Tblk] broadcasts over G
         sc = _softcap(sc * cfg.attention_scale(), cfg)
         cell = i * Tblk + jax.lax.broadcasted_iota(
             jnp.int32, (KH, G, Tblk), 2)
@@ -506,52 +527,58 @@ def _decode_kernel_dma(
         ok = ok & ((w <= 0) | (cell > start - w))
         sc = jnp.where(ok, sc, NEG_INF)
 
-        m_prev = m_ref[:, :, :1]
+        m_prev = m_ref[b, :, :, :1]
         m_new = jnp.maximum(m_prev, jnp.max(sc, axis=2, keepdims=True))
         p = jnp.exp(sc - m_new)
         corr = jnp.exp(m_prev - m_new)
-        l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=2, keepdims=True)
+        l_ref[b] = l_ref[b] * corr + jnp.sum(p, axis=2, keepdims=True)
         if quant:
-            p = p * vsbuf[cur]
-        acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
+            p = p * vsbuf[buf]
+        acc_ref[b] = acc_ref[b] * corr + jax.lax.dot_general(
             p.astype(ct), vf, dims_pv, preferred_element_type=jnp.float32)
-        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-        return 0
+        m_ref[b] = jnp.broadcast_to(m_new, m_ref[b].shape)
+        return (bn, in_, 1 - buf)
 
-    jax.lax.fori_loop(0, n_blk, body, 0)
+    jax.lax.while_loop(lambda st: st[0] < B, body, (b0, 0, 0))
 
-    # the step's own (in-flight, pre-rotated, full-precision) row
-    kn = kn_ref[0].astype(ct)  # [KH, 1, D]
-    vn = vn_ref[0].astype(jnp.float32)
-    sn = jax.lax.dot_general(
-        q, kn, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    sn = _softcap(sn * cfg.attention_scale(), cfg)  # [KH, G, 1]
-    m_prev = m_ref[:, :, :1]
-    m_new = jnp.maximum(m_prev, jnp.max(sn, axis=2, keepdims=True))
+    # every slot's in-flight (pre-rotated, full-precision) row + finalize,
+    # vectorized over B
+    q_all = q_ref[:, 0].astype(jnp.float32)  # [B, KH, G, D]
+    kn = kn_ref[:].astype(jnp.float32)  # [B, KH, 1, D]
+    vn = vn_ref[:].astype(jnp.float32)
+    # length-1 kv: an elementwise multiply-reduce, not a dot (Mosaic's
+    # tpu.matmul supports at most one batch dim)
+    sn = jnp.sum(q_all * kn, axis=3, keepdims=True)  # [B, KH, G, 1]
+    sn = _softcap(sn * cfg.attention_scale(), cfg)
+    m_prev = m_ref[:, :, :, :1]
+    m_new = jnp.maximum(m_prev, sn)
     p = jnp.exp(sn - m_new)
     corr = jnp.exp(m_prev - m_new)
-    l_fin = l_ref[:] * corr + jnp.sum(p, axis=2, keepdims=True)
+    l_fin = l_ref[:] * corr + p
     acc = acc_ref[:] * corr + p * vn
-    out_ref[0, 0] = (acc / jnp.maximum(l_fin[:, :, :1], 1e-30)
+    out_ref[:, 0] = (acc / jnp.maximum(l_fin[:, :, :, :1], 1e-30)
                      ).astype(out_ref.dtype)
 
 
 def _dma_tblk(T: int, KH: int, Dk2: int, elt: int) -> int | None:
     """Largest 128-multiple divisor of T whose double-buffered K+V tiles
-    fit a ~4 MB scratch budget; None when T has no usable divisor (caller
-    falls back to the BlockSpec kernel)."""
+    fit a ~4 MB scratch budget, preferring a divisor that yields >= 2
+    blocks so the next block's DMA overlaps the current block's compute
+    (a single whole-row block serializes transfer and compute); None when
+    T has no usable divisor (caller falls back to the BlockSpec kernel)."""
     if T % 128:
         return None
     budget = 4 << 20
-    best = None
+    best = best_multi = None
     for m in range(1, T // 128 + 1):
         tb = m * 128
         if T % tb:
             continue
         if 4 * KH * Dk2 * tb * elt <= budget:  # 2 planes x 2 buffers
             best = tb
-    return best
+            if tb * 2 <= T:
+                best_multi = tb
+    return best_multi or best
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "kind", "interpret"))
@@ -567,16 +594,10 @@ def _decode_call_dma(q5, k_new, v_new, k_all, v_all, ks_all, vs_all,
     Tblk = Tblk or _dma_tblk(T, KH, Dk2, elt)
     assert Tblk is not None and T % Tblk == 0
 
-    def q_map(b, *_):
-        return (b, 0, 0, 0, 0)
-
-    def new_map(b, *_):
-        return (b, 0, 0, 0)
-
     in_specs = [
-        pl.BlockSpec((1, 1, KH, G, D), q_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, KH, 1, D), new_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, KH, 1, D), new_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # q5 (small, whole array)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # k_new
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # v_new
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
@@ -593,9 +614,9 @@ def _decode_call_dma(q5, k_new, v_new, k_all, v_all, ks_all, vs_all,
                                o, a, m, l, kb, vb, None, None, se, **kw)
 
     scratch = [
-        pltpu.VMEM((KH, G, D), jnp.float32),
-        pltpu.VMEM((KH, G, 128), jnp.float32),
-        pltpu.VMEM((KH, G, 128), jnp.float32),
+        pltpu.VMEM((B, KH, G, D), jnp.float32),
+        pltpu.VMEM((B, KH, G, 128), jnp.float32),
+        pltpu.VMEM((B, KH, G, 128), jnp.float32),
         pltpu.VMEM((2, KH, Dk2, Tblk), k_all.dtype),
         pltpu.VMEM((2, KH, Dk2, Tblk), v_all.dtype),
     ]
@@ -608,13 +629,13 @@ def _decode_call_dma(q5, k_new, v_new, k_all, v_all, ks_all, vs_all,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(B,),
+        grid=(1,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, KH, G, D), q_map, memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
     )
     return pl.pallas_call(
-        functools.partial(kernel, cfg=cfg, kind=kind, G=G, Tblk=Tblk),
+        functools.partial(kernel, cfg=cfg, kind=kind, G=G, Tblk=Tblk, B=B),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(q5.shape, q5.dtype),
         interpret=interpret,

@@ -274,6 +274,15 @@ def _put_slot_windows_dt(arr: jax.Array, vals: jax.Array, slot_ids, starts,
     vt = jnp.swapaxes(vals, 3, 4)  # [L, B, KH, Dk, Tc] (small array)
     sizes = (L, 1, KH, Dk, Tc)
     if Tc == 1:
+        if _BATCH_APPEND:
+            # ONE scatter for every slot (vs a B-long cond/DUS chain —
+            # ~30 device ops per step per plane at B=8 across k/v/scales);
+            # inactive rows scatter out of bounds and mode="drop" drops
+            S = arr.shape[1]
+            slot = jnp.where(active & (n_valid > 0), slot_ids, S)
+            pos = jnp.minimum(starts, T - 1)
+            upd = jnp.swapaxes(vt[:, :, :, :, 0], 0, 1).astype(arr.dtype)
+            return arr.at[:, slot, :, :, pos].set(upd, mode="drop")
         for b in range(B):
             pos = (0, slot_ids[b], 0, 0, jnp.minimum(starts[b], T - 1))
             val = vt[:, b][:, None].astype(arr.dtype)

@@ -1355,16 +1355,30 @@ class InferenceEngine:
         # LONE slot gets a full chunk of slack: the device would sit idle
         # across the pull round-trip otherwise, so over-decoding its tail
         # costs nothing (the overrun cells are trimmed)
-        slack = n_inner if len(gen) == 1 else n_inner // 4
-        return (
-            self._tasks.empty()
-            and not self._deferred
-            and not self._kv_clear_requested
-            and not any(s.state == SlotState.PROCESSING_PROMPT for s in self.slots)
-            and all(s.n_past + ahead + 1 <= self.slot_ctx for s in gen)
-            and all(s.n_remaining < 0 or s.n_remaining >= ahead - slack
-                    for s in gen)
+        if len(gen) == 1:
+            # a LONE slot keeps the queue fed while ANY budget remains:
+            # the device idles across the pull round-trip otherwise, and
+            # over-decoded tail cells are trimmed — waste is bounded by
+            # the chunks in flight when the budget runs out
+            budget_ok = all(s.n_remaining != 0 for s in gen)
+        else:
+            slack = n_inner // 4
+            budget_ok = all(s.n_remaining < 0 or s.n_remaining >= ahead - slack
+                            for s in gen)
+        checks = (
+            ("tasks", self._tasks.empty()),
+            ("deferred", not self._deferred),
+            ("kvclear", not self._kv_clear_requested),
+            ("prompt", not any(s.state == SlotState.PROCESSING_PROMPT
+                               for s in self.slots)),
+            ("ctx", all(s.n_past + ahead + 1 <= self.slot_ctx for s in gen)),
+            ("budget", budget_ok),
         )
+        ok = all(v for _, v in checks)
+        if not ok and self._trace:
+            log.info("spec denied: %s (ahead=%d)",
+                     ",".join(n for n, v in checks if not v), ahead)
+        return ok
 
     def _settle_all(self) -> None:
         """Pull and process every in-flight speculative chunk, oldest
