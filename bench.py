@@ -187,8 +187,19 @@ def main() -> int:
                 k = f"q4_k_m+kv_{kv}"
                 if k in d:
                     ok = ok and abs(d[k]["ppl"] - q4) / q4 < 0.02
+            d7 = gate.get("detail_7b")
+            if d7:  # 7B scale: base is q8_0 (f32 7B exceeds the chip)
+                b7 = d7["q8_0+kv_f16"]["ppl"]
+                q47 = d7["q4_k_m+kv_f16"]["ppl"]
+                ok = ok and abs(q47 - b7) / b7 < 0.05
+                for kv in ("q8_0", "q4_0"):
+                    k = f"q4_k_m+kv_{kv}"
+                    if k in d7:
+                        ok = ok and abs(d7[k]["ppl"] - q47) / q47 < 0.02
             print(f"[ppl gate {ppls[-1]}: {'PASS' if ok else 'FAIL'} "
-                  f"(dppl {gate['value']:+.3f}%)]", file=sys.stderr)
+                  f"(dppl {gate['value']:+.3f}%"
+                  + (f", 7b {gate.get('value_7b_pct_vs_q8_0'):+.3f}%"
+                     if d7 else "") + ")]", file=sys.stderr)
             if not ok:
                 print(json.dumps({"metric": "ppl_gate", "value": 0,
                                   "unit": "bool", "vs_baseline": 0.0}))

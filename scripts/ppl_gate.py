@@ -43,6 +43,9 @@ def main() -> int:
     ap.add_argument("--round", type=int, default=3)
     ap.add_argument("--ctx", type=int, default=512)
     ap.add_argument("--preset", default="tinyllama-1.1b")
+    ap.add_argument("--with-7b", action="store_true",
+                    help="add the 7B-scale set (base q8_0; f32 7B "
+                         "exceeds the 16 GB chip)")
     args = ap.parse_args()
 
     from tpu_engine.utils.jaxinit import setup_compilation_cache
@@ -94,6 +97,29 @@ def main() -> int:
                        " (no egress); llama.cpp WikiText-2 Q4_K_M band is"
                        " <1% relative on trained weights",
     }
+
+    if args.with_7b:
+        # 7B scale (round-4 verdict #4): f32 7B is 27 GB and cannot fit
+        # the 16 GB v5e, so the base is q8_0 — the level llama.cpp itself
+        # treats as indistinguishable from f16 on WikiText-2
+        r7 = {}
+        for quant, kv in (("q8_0", "f16"), ("q4_k_m", "f16"),
+                          ("q4_k_m", "q8_0"), ("q4_k_m", "q4_0")):
+            t0 = time.time()
+            path7 = cached_synthetic(cache_dir, "llama2-7b", quant)
+            lm = load_model(path7)
+            ppl, n, _ = compute_ppl(lm, text, n_ctx=args.ctx, progress=prog,
+                                    kv_kind=kv)
+            key = f"{quant}+kv_{kv}"
+            r7[key] = {"ppl": round(ppl, 5), "tokens": n,
+                       "wall_s": round(time.time() - t0, 1)}
+            print(f"[7b {key}: ppl {ppl:.5f} over {n} tokens, "
+                  f"{time.time()-t0:.0f}s]", file=sys.stderr)
+            del lm
+        b7 = r7["q8_0+kv_f16"]["ppl"]
+        q47 = r7["q4_k_m+kv_f16"]["ppl"]
+        out["detail_7b"] = r7
+        out["value_7b_pct_vs_q8_0"] = round(100.0 * (q47 - b7) / b7, 4)
     path = os.path.join(_DIR, f"PPL_r{args.round:02d}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

@@ -22,9 +22,13 @@ queues, and scheduling.
 
 from __future__ import annotations
 
+import logging
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+log = logging.getLogger("tpu_engine.serve")
 
 from ..kvcache.cache import clear_all, seq_cp, shift_compact, trim
 from ..sampling.device import (
@@ -38,6 +42,14 @@ from ..sampling.device import (
 # first-token sampling on prefill logits (one [S] int pull instead of the
 # [S, V] f32 row pull — ~1 MB D2H per new-prompt burst on remote runtimes)
 _sample_first_jit = jax.jit(sample_step)
+
+# MODULE-LEVEL pull helper, shared by every engine instance. This was a
+# per-instance `jax.jit(lambda t: t + 0)`: each new EngineOps recompiled
+# it, and on the axon backend even a trivial compile intermittently takes
+# 60-140 s SERVER-side (measured; the compile service queues) — it was
+# the dominant, unexplained 85-475 s of 7B warm-up variance. One shared
+# jit + persistent-cache entries per aval caps the cost at once-ever.
+_extract_jit = jax.jit(lambda t: t + 0)
 
 
 class EngineOps:
@@ -69,8 +81,9 @@ class EngineOps:
         self.n_slots = int(cache.lengths.shape[0])
         # pulling any output of an execution can drag the whole result
         # bundle host-side (remote runtimes); route pulls through a tiny
-        # separate execution so only the pulled array travels
-        self._extract = jax.jit(lambda t: t + 0)
+        # separate execution so only the pulled array travels (shared
+        # module-level jit — see _extract_jit)
+        self._extract = _extract_jit
         self._dev_params = None
         self._dev_state: DeviceSamplerState | None = None
         self._last_tok_dev = None
@@ -336,7 +349,33 @@ class EngineOps:
                 ga_n=self.ga_n, ga_w=self.ga_w,
                 rot_cache=self.rot_cache, gbank=gbank_s).compile()
 
-        jobs = []
+        def helper_jobs():
+            # every TINY executable the serving path touches: the pull
+            # router (logits rows, first tokens, chunk outputs), the
+            # on-device first-token sampler, and the KV seq ops. On this
+            # backend even a trivial compile can take minutes when the
+            # compile service queues — a mid-serving helper compile was
+            # the round-4 "warm-up recompiles with a hot cache" mystery.
+            V = self.cfg.n_vocab
+            f32 = np.float32
+            _extract_jit.lower(jax.ShapeDtypeStruct((S, V), f32)).compile()
+            _extract_jit.lower(i32((S,))).compile()
+            for n_inner in sorted(set(int(c) for c in chunk_sizes)):
+                _extract_jit.lower(i32((S, n_inner))).compile()
+            logits_s = jax.ShapeDtypeStruct((S, V), f32)
+            _sample_first_jit.lower(logits_s, params_s, state_s,
+                                    gbank=gbank_s).compile()
+            from ..kvcache import cache as _kv
+
+            sc = jax.ShapeDtypeStruct((), np.int32)
+            _kv.trim.lower(cache_s, sc, sc).compile()
+            _kv.seq_cp.lower(cache_s, sc, sc).compile()
+            rope = ((self.cfg.rope_dim, self.cfg.rope_freq_table()[0])
+                    if self.rot_cache else None)
+            _kv.shift_compact.lower(cache_s, sc, sc, sc,
+                                    rope=rope).compile()
+
+        jobs = [(helper_jobs, ())]
         for b in prefill_buckets:
             jobs.append((prefill_job, (S, b)))
             if singles:
@@ -349,20 +388,45 @@ class EngineOps:
         # FIRST program execution (~100-500 s, opaque to JAX); running it
         # here overlaps it with the remaining compiles instead of letting
         # it land on the first fake warm-up request (or worse, a user's)
+        import time as _time
+        _t0 = _time.time()
         single_step_job()
+        log.info("warm single_step_job: %.1fs", _time.time() - _t0)
 
         def first_exec():
             # executes a live step (donates the cache) — `runner` lets the
             # engine route it onto its loop thread so it cannot race an
             # in-flight loop op (serve/engine.py _call_on_loop)
+            _t = _time.time()
             self.step(np.zeros((S, 1), np.int32),
                       np.arange(S, dtype=np.int32), np.zeros((S,), bool))
+            log.info("warm first_exec step dispatch: %.1fs", _time.time() - _t)
+            _t = _time.time()
             self.pull(self._last_step_logits)
+            log.info("warm first_exec pull: %.1fs", _time.time() - _t)
 
+        def timed(fn, *a):
+            t0 = _time.time()
+            fn(*a)
+            log.info("warm job %s%r: %.1fs", fn.__name__, a,
+                     _time.time() - t0)
+
+        # first_exec runs CONCURRENTLY with the compile pool: its pull is
+        # the first true D2H sync of the process, and on the axon runtime
+        # that is where the ASYNC weight upload actually completes —
+        # block_until_ready/device_put return before the 3.8 GB (7B) of
+        # weights have finished crossing the tunnel, so the first pull
+        # waits out the upload tail (measured 130-460 s depending on
+        # tunnel weather; the "load" phase timing only covers the async
+        # dispatch). Overlapping it with the compiles means warm-up costs
+        # max(upload tail, compiles), not their sum.
         with cf.ThreadPoolExecutor(max_workers=threads) as ex:
-            futs = [ex.submit(fn, *a) for fn, a in jobs]
+            futs = [ex.submit(timed, fn, *a) for fn, a in jobs]
             try:
+                t0 = _time.time()
                 (runner or (lambda f: f()))(first_exec)
+                log.info("warm first_exec (upload barrier): %.1fs",
+                         _time.time() - t0)
             finally:
                 for f in futs:
                     f.result()  # propagate compile errors
