@@ -296,7 +296,7 @@ def _cfg3(sp) -> list:
         # compute landed inside predicted_ms and the metric measured
         # prefill, not flash-decode
         _, prefill_wall = run_batch(1)
-        rs, wall = run_batch(128)
+        rs, wall = run_batch(256)
         total = sum(r.tokens_predicted for r in rs)
         els = [r.timings.get("predicted_ms", 0.0) for r in rs]
         el = max(els) / 1e3
@@ -310,7 +310,7 @@ def _cfg3(sp) -> list:
         return [{"metric": "cfg3_q8_0_kv_flash_decode_fill2k_tok_per_s",
                  "value": round(rate, 2), "unit": "tokens/s",
                  "vs_baseline": round(rate / tiny_roofline, 4),
-                 "note": f"8 slots, fill 2048, decode wall {wall:.1f}s, "
+                 "note": f"8 slots, fill ~2k, 256 tok/slot, decode wall {wall:.1f}s, "
                          f"8x2048-tok prefill {prefill_wall:.1f}s; "
                          "vs_baseline = fraction of weight-read roofline"}]
     finally:

@@ -59,21 +59,34 @@ def compute_ppl(lm, text: str, n_ctx: int = 512, progress=None,
         tgt = jnp.take_along_axis(logits, targets[:, None], axis=-1)[:, 0]
         return lse - tgt
 
+    from ..kvcache.cache import default_layout
+
     total_nll = 0.0
     total_n = 0
     first = n_ctx // 2  # score the second half of each chunk
+    # evaluate each window in SUB-CHUNKS so later sub-chunks attend the
+    # STORED cache: a single full-window forward never reads stored KV
+    # (deferred append — attention sees the window's own rows in-flight),
+    # which made the q8_0/q4_0 rows of the quality gate vacuously equal
+    # to f16
+    sub = min(128, n_ctx)
     for ci in range(n_chunks):
         chunk = ids[ci * n_ctx : (ci + 1) * n_ctx]
         cache = new_cache(cfg.n_layer, 1, n_ctx, cfg.n_kv_head, cfg.head_dim,
-                          dtype=jnp.bfloat16, kind=kv_kind)
-        toks = jnp.asarray([chunk], jnp.int32)
-        _, cache, hidden = forward_step(
-            lm.weights, cache, toks,
-            jnp.zeros((1,), jnp.int32), jnp.ones((1,), bool), cfg,
-            collect_hidden="all",
-        )
+                          dtype=jnp.bfloat16, kind=kv_kind,
+                          layout=default_layout(kv_kind, cfg.head_dim))
+        hs = []
+        for off in range(0, n_ctx, sub):
+            toks = jnp.asarray([chunk[off:off + sub]], jnp.int32)
+            _, cache, hidden = forward_step(
+                lm.weights, cache, toks,
+                jnp.zeros((1,), jnp.int32), jnp.ones((1,), bool), cfg,
+                collect_hidden="all",
+            )
+            hs.append(hidden[0])
+        hidden = jnp.concatenate(hs, axis=0)  # [n_ctx, E]
         # position p's hidden predicts token p+1
-        h = hidden[0, first - 1 : n_ctx - 1]
+        h = hidden[first - 1 : n_ctx - 1]
         tgts = jnp.asarray(chunk[first:], jnp.int32)
         nll = np.asarray(chunk_nll(h, tgts))
         total_nll += float(nll.sum())
