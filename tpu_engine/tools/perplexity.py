@@ -64,35 +64,42 @@ def compute_ppl(lm, text: str, n_ctx: int = 512, progress=None,
     total_nll = 0.0
     total_n = 0
     first = n_ctx // 2  # score the second half of each chunk
-    # evaluate each window in SUB-CHUNKS so later sub-chunks attend the
-    # STORED cache: a single full-window forward never reads stored KV
-    # (deferred append — attention sees the window's own rows in-flight),
-    # which made the q8_0/q4_0 rows of the quality gate vacuously equal
-    # to f16
+    # Evaluate in SUB-CHUNKS so later sub-chunks attend the STORED cache:
+    # a single full-window forward never reads stored KV (deferred append
+    # — attention sees the window's own rows in-flight), which made the
+    # q8_0/q4_0 rows of the quality gate vacuously equal to f16. Windows
+    # are BATCHED 8 per forward so the (dominant) weight reads amortize.
     sub = min(128, n_ctx)
-    for ci in range(n_chunks):
-        chunk = ids[ci * n_ctx : (ci + 1) * n_ctx]
-        cache = new_cache(cfg.n_layer, 1, n_ctx, cfg.n_kv_head, cfg.head_dim,
+    B = min(8, n_chunks)
+    for bi in range(0, n_chunks, B):
+        rows = [ids[ci * n_ctx : (ci + 1) * n_ctx]
+                for ci in range(bi, min(bi + B, n_chunks))]
+        while len(rows) < B:  # ragged tail: pad with a repeat, score 0 rows
+            rows.append(rows[0])
+        n_real = min(B, n_chunks - bi)
+        cache = new_cache(cfg.n_layer, B, n_ctx, cfg.n_kv_head, cfg.head_dim,
                           dtype=jnp.bfloat16, kind=kv_kind,
                           layout=default_layout(kv_kind, cfg.head_dim))
         hs = []
         for off in range(0, n_ctx, sub):
-            toks = jnp.asarray([chunk[off:off + sub]], jnp.int32)
+            toks = jnp.asarray([r[off:off + sub] for r in rows], jnp.int32)
             _, cache, hidden = forward_step(
                 lm.weights, cache, toks,
-                jnp.zeros((1,), jnp.int32), jnp.ones((1,), bool), cfg,
+                jnp.arange(B, dtype=jnp.int32), jnp.ones((B,), bool), cfg,
                 collect_hidden="all",
             )
-            hs.append(hidden[0])
-        hidden = jnp.concatenate(hs, axis=0)  # [n_ctx, E]
-        # position p's hidden predicts token p+1
-        h = hidden[first - 1 : n_ctx - 1]
-        tgts = jnp.asarray(chunk[first:], jnp.int32)
-        nll = np.asarray(chunk_nll(h, tgts))
-        total_nll += float(nll.sum())
-        total_n += nll.shape[0]
+            hs.append(hidden)
+        hidden = jnp.concatenate(hs, axis=1)  # [B, n_ctx, E]
+        for r in range(n_real):
+            # position p's hidden predicts token p+1
+            h = hidden[r, first - 1 : n_ctx - 1]
+            tgts = jnp.asarray(rows[r][first:], jnp.int32)
+            nll = np.asarray(chunk_nll(h, tgts))
+            total_nll += float(nll.sum())
+            total_n += nll.shape[0]
         if progress:
-            progress(ci + 1, n_chunks, math.exp(total_nll / total_n))
+            progress(min(bi + B, n_chunks), n_chunks,
+                     math.exp(total_nll / total_n))
     return math.exp(total_nll / total_n), total_n, total_nll / total_n
 
 
