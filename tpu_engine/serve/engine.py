@@ -323,7 +323,11 @@ class InferenceEngine:
             [b for b in self.prefill_buckets if b < self.slot_ctx],
             [c for c in (self.decode_chunk, self.stop_chunk,
                          self.stream_chunk) if c > 1],
-            runner=self._call_on_loop,
+            # first_exec is the WEIGHT-UPLOAD BARRIER (ops.warm_compile):
+            # on a bad tunnel the 7B upload tail alone can exceed 10
+            # minutes, so this call gets a far larger budget than the
+            # default op timeout (a 600 s cap crashed the round-5 bench)
+            runner=lambda fn: self._call_on_loop(fn, timeout=3600.0),
         )
         bos = self.tok.bos_id if self.tok.bos_id >= 0 else 0
 
